@@ -1,0 +1,33 @@
+"""antnre_spark — a brand-new PySpark-native knowledge-graph construction
+engine with the query/data-processing capabilities of changzhisun/AntNRE.
+
+NOT a port: the reference is a single-process PyTorch joint entity-relation
+extraction toolkit (see SURVEY.md §0.1); this package re-expresses WHAT it
+computes (BiLSTM-CRF mention detection, span-pair relation classification,
+CoNLL04-style eval) as an idiomatic Spark pipeline over Iceberg-style tables
+of multi-turn transcripts, plus the linking/canonicalization/materialization
+stages mandated by BASELINE.json:6,14.
+
+Provenance note (SURVEY.md §0): /root/reference was empty in this sandbox, so
+reference citations are `[pub:]` reconstructions; the parity oracle is
+oracle/antnre_oracle.py (deterministic single-process numpy).
+
+Modules map to SURVEY.md §2 operator families:
+  schema       fixed StructTypes for every table (§1.2)
+  session      SparkSession builder with scale-oriented defaults
+  assemble     C1 window-ordered document assembly, C2 turn dedup, C3 sessions
+  segment      D1 sentence split, D2 tokenize, D3 vocabulary
+  nnmodel      pure-numpy BiLSTM-CRF + span-pair MLP (no pyspark imports)
+  extract      E+F mention & relation extraction as one mapInPandas stage
+  link         G1-G7 MinHash/LSH/connected-components entity linking
+  materialize  H1-H5 triple dedup, vertex/edge assembly, degree stats
+  salt         explicit salting helpers (§4.3.1)
+  icelite      IcebergLite snapshot/manifest table layer (§7.4)
+  metrics      _markers lineage / completion-marker table (§3.3)
+  pipeline     end-to-end jobs with per-partition resume
+  textops      language-ID, quality scoring, token counts, fingerprints
+  dedup        exact / MinHash-LSH / SimHash / n-gram-Jaccard document dedup
+  simsearch    brute-force + LSH-bucketed cosine top-k over embeddings
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,119 @@
+"""C: document assembly / turn ordering (SURVEY.md §2.C).
+
+The per-turn text-equality invariant (BASELINE.json:15) lives here: documents
+carry turns in deterministic turn_idx order regardless of shuffle or
+partition count. We therefore never rely on ``collect_list`` order (it is
+shuffle-order-dependent); ``sort_array`` over a struct whose FIRST field is
+turn_idx gives a total, shuffle-independent order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# C1's collect_list is bounded by capping turns per document: a conversation
+# longer than this is split into continuation documents (doc_seq 0,1,2,…) so
+# a single pathological conversation can never blow an executor's memory
+# (explicit skew handling, SURVEY.md §4.3.1).
+MAX_TURNS_PER_DOC = 512
+
+EXTRACT_ROLES = ("user", "assistant")
+
+
+def filter_extractable(transcripts: DataFrame) -> DataFrame:
+    """B1: keep text-bearing turns. Sargable predicates, pushed to the scan
+    by Catalyst (verify with .explain: PushedFilters on role/text)."""
+    return transcripts.filter(
+        F.col("role").isin(*EXTRACT_ROLES)
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    )
+
+
+def dedup_turns(transcripts: DataFrame) -> DataFrame:
+    """C2: exactly one row per (conv_id, turn_idx), keeping the latest ts.
+
+    Retry/duplicate turns are a fixture pathology (FIXTURES.md F1.a). The
+    tie-break is total (ts DESC, then text ASC) so the survivor is
+    deterministic even for equal timestamps.
+    """
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").desc(), F.col("text").asc_nulls_last()
+    )
+    return (
+        transcripts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def assemble_documents(
+    transcripts: DataFrame, max_turns_per_doc: int = MAX_TURNS_PER_DOC
+) -> DataFrame:
+    """C1: window-ordered groupBy conv_id -> ordered turns array
+    (BASELINE.json:6 "turns assembled into documents via window-ordered
+    groupBy on conv_id").
+
+    One shuffle on (conv_id, doc_seq). ``sort_array`` on
+    struct(turn_idx, ...) yields turn_idx-ascending order deterministically;
+    doc_seq splits over-long conversations (skew cap).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    with_seq = transcripts.withColumn(
+        "doc_seq",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(max_turns_per_doc)).cast("int"),
+    )
+    return (
+        with_seq.groupBy("conv_id", "doc_seq")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text", "tool", "ts"))
+            ).alias("turns")
+        )
+        .withColumn("n_turns", F.size("turns").cast("int"))
+        .select("conv_id", "doc_seq", "n_turns", "turns")
+    )
+
+
+def explode_documents(documents: DataFrame) -> DataFrame:
+    """Inverse of assemble_documents (used by the equality-invariant test:
+    explode(documents.turns) ⋈ raw transcripts on (conv_id, turn_idx) must
+    show zero text mismatches — SURVEY.md §3.4)."""
+    return documents.select(
+        "conv_id", F.explode("turns").alias("t")
+    ).select(
+        "conv_id",
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col("t.role").alias("role"),
+        F.col("t.text").alias("text"),
+        F.col("t.tool").alias("tool"),
+        F.col("t.ts").alias("ts"),
+    )
+
+
+def sessionize(
+    transcripts: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """C3: split conversations at idle gaps > gap_minutes into sessions.
+
+    lag(ts) over (conv_id ORDER BY turn_idx, ts) flags gap starts; a running
+    sum of flags numbers sessions. Single window shuffle, no UDF.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    gap_s = gap_minutes * 60
+    flagged = transcripts.withColumn(
+        "_new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > F.lit(gap_s),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    running = Window.partitionBy("conv_id").orderBy("turn_idx", "ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.concat_ws("#", F.col("conv_id"), F.sum("_new_session").over(running)),
+    ).drop("_new_session")

@@ -1,0 +1,182 @@
+"""E+F: fused mention + relation extraction as ONE mapInPandas stage.
+
+The reference runs its BiLSTM-CRF mention detector and span-pair relation
+classifier as consecutive stages of one forward pass per minibatch
+(SURVEY.md §3.1, `[pub: entrel/]` unverified). We keep that fusion: a single
+Arrow-batched mapInPandas computes per-sentence hidden states ONCE and emits
+both mentions and relations as nested arrays — per-sentence hidden states
+(`[T, 2h]` floats) are never shuffled between stages (SURVEY.md §2.F F2).
+
+Scale properties:
+- narrow map: inherits the input partitioning (conversation-local after C1);
+  zero shuffles introduced;
+- Arrow batch size is capped by spark.sql.execution.arrow.maxRecordsPerBatch
+  AND re-chunked in-UDF by token budget, so one pathological batch (e.g. the
+  planted 10^4-turn conversation) cannot OOM a Python worker (size-capped
+  extraction batches, BASELINE.json:6 / SURVEY.md §4.3.3);
+- weights travel once per executor via broadcast, unpacked once per Python
+  worker process (module-level cache), not once per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from antnre_spark.nnmodel import AntNREModel
+from antnre_spark.schema import EXTRACTED
+
+# token budget per model sub-call: bounds padded-matrix memory inside the UDF
+TOKEN_BUDGET = 16_384
+
+_MODEL_CACHE: dict[int, AntNREModel] = {}
+
+
+def broadcast_model(spark: SparkSession, npz_path: str, vocab_path: str):
+    """A3: driver-side numpy load -> spark broadcast (never a DataFrame).
+    Returns (weights_bc, vocab_bc)."""
+    import json
+
+    import numpy as np
+
+    with np.load(npz_path) as z:
+        weights = {k: z[k] for k in z.files}
+    with open(vocab_path) as f:
+        vocab = json.load(f)
+    sc = spark.sparkContext
+    return sc.broadcast(weights), sc.broadcast(vocab)
+
+
+def _model_for(weights_bc, vocab_bc) -> AntNREModel:
+    key = weights_bc.id
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        model = AntNREModel(weights_bc.value, vocab_bc.value)
+        _MODEL_CACHE.clear()  # at most one model resident per worker
+        _MODEL_CACHE[key] = model
+    return model
+
+
+def _token_chunks(pdf: pd.DataFrame, budget: int) -> Iterator[pd.DataFrame]:
+    """Re-chunk an Arrow batch so each model call sees <= budget tokens."""
+    sizes = pdf["tokens"].map(len).to_numpy()
+    start, acc = 0, 0
+    for i, s in enumerate(sizes):
+        if acc + int(s) > budget and i > start:
+            yield pdf.iloc[start:i]
+            start, acc = i, 0
+        acc += int(s)
+    if start < len(pdf):
+        yield pdf.iloc[start:]
+
+
+def extract_sentences(
+    sentences: DataFrame,
+    weights_bc,
+    vocab_bc,
+    token_budget: int = TOKEN_BUDGET,
+) -> DataFrame:
+    """sentences(conv_id, turn_idx, sent_idx, tokens, ...) -> EXTRACTED."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _model_for(weights_bc, vocab_bc)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for chunk in _token_chunks(pdf, token_budget):
+                toks = [list(t) for t in chunk["tokens"]]
+                results = model.extract(toks)
+                out_m, out_r = [], []
+                for (mentions, relations), tk in zip(results, toks):
+                    out_m.append(
+                        [
+                            {
+                                "begin": m.begin,
+                                "end": m.end,
+                                "ent_type": m.ent_type,
+                                "surface": " ".join(tk[m.begin : m.end]),
+                                "conf": m.conf,
+                            }
+                            for m in mentions
+                        ]
+                    )
+                    out_r.append(
+                        [
+                            {
+                                "subj_begin": mentions[r.subj].begin,
+                                "subj_end": mentions[r.subj].end,
+                                "obj_begin": mentions[r.obj].begin,
+                                "obj_end": mentions[r.obj].end,
+                                "pred": r.pred,
+                                "conf": r.conf,
+                            }
+                            for r in relations
+                        ]
+                    )
+                yield pd.DataFrame(
+                    {
+                        "conv_id": chunk["conv_id"].values,
+                        "turn_idx": chunk["turn_idx"].values,
+                        "sent_idx": chunk["sent_idx"].values,
+                        "mentions": out_m,
+                        "relations": out_r,
+                    }
+                )
+
+    return sentences.mapInPandas(run, EXTRACTED)
+
+
+def _mention_id(conv, turn, sent, begin, end):
+    return F.concat_ws(
+        ":", conv, turn.cast("string"), sent.cast("string"),
+        F.concat_ws("-", begin.cast("string"), end.cast("string")),
+    )
+
+
+def explode_mentions(extracted: DataFrame) -> DataFrame:
+    """EXTRACTED -> MENTIONS rows with deterministic mention_id
+    ``conv:turn:sent:begin-end`` (pure function of position — no UUIDs, so
+    re-extraction is idempotent for resume, SURVEY.md §7.3)."""
+    m = extracted.select(
+        "conv_id", "turn_idx", "sent_idx", F.explode("mentions").alias("m")
+    )
+    return m.select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        _mention_id(
+            F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx"),
+            F.col("m.begin"), F.col("m.end"),
+        ).alias("mention_id"),
+        F.col("m.begin").alias("begin"),
+        F.col("m.end").alias("end"),
+        F.col("m.ent_type").alias("ent_type"),
+        F.col("m.surface").alias("surface"),
+        F.col("m.conf").alias("conf"),
+    )
+
+
+def explode_relations(extracted: DataFrame) -> DataFrame:
+    """EXTRACTED -> RELATIONS rows; mention ids reconstructed from span
+    offsets (no join back to mentions needed — zero shuffle)."""
+    r = extracted.select(
+        "conv_id", "turn_idx", "sent_idx", F.explode("relations").alias("r")
+    )
+    return r.select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        _mention_id(
+            F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx"),
+            F.col("r.subj_begin"), F.col("r.subj_end"),
+        ).alias("subj_mention_id"),
+        _mention_id(
+            F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx"),
+            F.col("r.obj_begin"), F.col("r.obj_end"),
+        ).alias("obj_mention_id"),
+        F.col("r.pred").alias("pred"),
+        F.col("r.conf").alias("conf"),
+    )

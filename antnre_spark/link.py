@@ -1,0 +1,269 @@
+"""G: entity linking & canonicalization — MinHash/LSH/connected-components
+(SURVEY.md §2.G; obligation BASELINE.json:6 "salted-key MinHash /
+connected-components entity linking").
+
+Scale design
+------------
+The single most important decision: linking operates on **distinct
+(ent_type, normalized surface) keys**, not on mentions. A hub entity whose
+surface appears in 30% of all mentions (fixture pathology f) collapses to
+ONE row before any LSH work happens — the groupBy that dedups surfaces is
+the skew neutralizer, and its own shuffle skew is handled by the two-level
+salted aggregation in antnre_spark/salt.py when mention counts per surface
+are pathological. Downstream, band buckets are size-capped (a bucket larger
+than ``max_bucket`` is dropped deterministically — standard LSH practice;
+the oracle applies the identical rule) so the candidate self-join can never
+quadratically explode; AQE skew-join splitting covers residual imbalance.
+
+Pipeline: mentions -> G1 normalize -> distinct surfaces -> G2 MinHash sigs
+(pandas UDF over antnre_spark/hashing, shared with the oracle) -> G3 band
+explode -> G4 candidate self-join per band -> G5 exact-Jaccard verify ->
+G6 iterative min-label-propagation connected components (driver loop,
+localCheckpoint per iteration) -> G7 canonical representative + entity_id.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from antnre_spark import hashing
+
+JACCARD_TAU = hashing.TAU_LO
+MAX_BUCKET = 64  # band-bucket size cap (dropped if exceeded; oracle matches)
+CC_MAX_ITERS = 25
+
+
+def normalize_surface(col: F.Column) -> F.Column:
+    """G1: whitespace-collapse + trim + lowercase. Pure built-ins."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+_SIG_SCHEMA = StructType(
+    [
+        StructField("grams", ArrayType(LongType(), False), False),
+        StructField("bands", ArrayType(StringType(), False), False),
+    ]
+)
+
+
+@F.pandas_udf(_SIG_SCHEMA)
+def _sign_udf(surfaces: pd.Series) -> pd.DataFrame:
+    """G2+G3: normalized surface -> (sorted gram codes, LSH band keys).
+    Delegates to antnre_spark.hashing so the oracle is bit-identical."""
+    grams_out, bands_out = [], []
+    for s in surfaces:
+        codes = hashing.gram_codes(s)
+        sig = hashing.minhash_signature(codes)
+        grams_out.append(codes.tolist())
+        bands_out.append(hashing.band_keys(sig))
+    return pd.DataFrame({"grams": grams_out, "bands": bands_out})
+
+
+def distinct_surfaces(mentions: DataFrame) -> DataFrame:
+    """mentions -> one row per (ent_type, norm): mention count + the most
+    frequent raw surface (tie -> lexicographically smallest).
+
+    Two-level aggregation: the first groupBy includes the raw surface, so
+    the hub surface's millions of mentions partially aggregate map-side
+    before the (ent_type, norm) reduce — no single reducer sees raw mention
+    rows (same effect as an explicit salt for this shape).
+    """
+    per_raw = (
+        mentions.select("ent_type", "surface")
+        .withColumn("norm", normalize_surface(F.col("surface")))
+        .groupBy("ent_type", "norm", "surface")
+        .agg(F.count("*").alias("n_raw"))
+    )
+    return per_raw.groupBy("ent_type", "norm").agg(
+        F.sum("n_raw").alias("n_mentions"),
+        # most frequent raw surface; tie -> lexicographic min (total order)
+        F.expr("min_by(surface, struct(-n_raw as a, surface as b))").alias(
+            "top_surface"
+        ),
+    )
+
+
+def candidate_pairs(
+    surfaces: DataFrame,
+    tau: float = JACCARD_TAU,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """G3-G5: LSH band join + exact-Jaccard verification.
+
+    Returns verified edges (ent_type, norm_a, norm_b) with norm_a < norm_b.
+    The self-join is equi on (ent_type, band); buckets above max_bucket are
+    dropped before joining (deterministic; prevents quadratic blowup on
+    degenerate surfaces). Pair dedup happens BEFORE the Jaccard check so
+    each candidate pair is verified once, not once per agreeing band.
+    """
+    signed = surfaces.withColumn("s", _sign_udf(F.col("norm"))).select(
+        "ent_type", "norm", F.col("s.grams").alias("grams"), F.col("s.bands").alias("bands")
+    )
+    exploded = signed.select(
+        "ent_type", "norm", "grams", F.explode("bands").alias("band")
+    )
+    bucket_sizes = exploded.groupBy("ent_type", "band").agg(
+        F.count("*").alias("_bsz")
+    )
+    bounded = exploded.join(
+        bucket_sizes.filter(F.col("_bsz") <= max_bucket), ["ent_type", "band"]
+    ).drop("_bsz")
+
+    a = bounded.select(
+        "ent_type", "band",
+        F.col("norm").alias("norm_a"), F.col("grams").alias("grams_a"),
+    )
+    b = bounded.select(
+        "ent_type", "band",
+        F.col("norm").alias("norm_b"), F.col("grams").alias("grams_b"),
+    )
+    pairs = (
+        a.join(b, ["ent_type", "band"])
+        .filter(F.col("norm_a") < F.col("norm_b"))
+        .select("ent_type", "norm_a", "norm_b", "grams_a", "grams_b")
+        .dropDuplicates(["ent_type", "norm_a", "norm_b"])
+    )
+    # two-signal verification (thresholds in antnre_spark.hashing): Jaccard
+    # candidates confirmed by either very high overlap or tiny edit
+    # distance — separates typo variants from head-token decoys. All three
+    # predicates are JVM built-ins (array_intersect/union, levenshtein).
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(
+            (F.col("jaccard") >= F.lit(tau))
+            & (
+                (F.col("jaccard") >= F.lit(hashing.TAU_HI))
+                | (
+                    F.levenshtein(F.col("norm_a"), F.col("norm_b"))
+                    <= F.lit(hashing.LEV_MAX)
+                )
+            )
+        )
+        .select("ent_type", "norm_a", "norm_b", "jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """G6: min-label propagation until fixpoint.
+
+    nodes: (ent_type, norm); edges: (ent_type, norm_a, norm_b).
+    Returns (ent_type, norm, component) where component = min norm in the
+    connected component (a total, deterministic label).
+
+    Driver-side loop (SURVEY.md §3.3): each iteration is one
+    shuffle-bounded join+agg; localCheckpoint truncates the lineage so
+    iteration i does not replay iterations 0..i-1; convergence is counted
+    with a single count() action on changed labels. Alias clusters have
+    tiny diameters, so this converges in a handful of iterations; for
+    adversarial graphs switch to large-star/small-star (same primitive).
+    """
+    sym = edges.select("ent_type", F.col("norm_a").alias("src"), F.col("norm_b").alias("dst")).unionByName(
+        edges.select("ent_type", F.col("norm_b").alias("src"), F.col("norm_a").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select("ent_type", "norm", F.col("norm").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(
+                labels.select(
+                    "ent_type",
+                    F.col("norm").alias("src"),
+                    F.col("component").alias("src_comp"),
+                ),
+                ["ent_type", "src"],
+            )
+            .groupBy("ent_type", F.col("dst").alias("norm"))
+            .agg(F.min("src_comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, ["ent_type", "norm"], "left")
+            .select(
+                "ent_type",
+                "norm",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_comp", F.col("component"))
+                ).alias("new_component"),
+                F.col("component"),
+            )
+        )
+        changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        labels = updated.select(
+            "ent_type", "norm", F.col("new_component").alias("component")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(surfaces: DataFrame, components: DataFrame) -> DataFrame:
+    """G7: per component pick the canonical representative = raw surface of
+    the member with the highest mention count (tie -> lexicographic min
+    surface), and mint entity_id = '<ent_type>:<component label>'.
+
+    Returns the surface->entity map:
+    (ent_type, norm, entity_id, canonical, n_mentions).
+    """
+    joined = surfaces.join(components, ["ent_type", "norm"])
+    w = Window.partitionBy("ent_type", "component").orderBy(
+        F.col("n_mentions").desc(), F.col("top_surface").asc(), F.col("norm").asc()
+    )
+    ranked = joined.withColumn("_rk", F.row_number().over(w))
+    canon = ranked.filter(F.col("_rk") == 1).select(
+        "ent_type",
+        "component",
+        F.col("top_surface").alias("canonical"),
+    )
+    return (
+        joined.join(canon, ["ent_type", "component"])
+        .select(
+            "ent_type",
+            "norm",
+            F.concat_ws(":", "ent_type", "component").alias("entity_id"),
+            "canonical",
+            "n_mentions",
+        )
+    )
+
+
+def build_entities(surface_map: DataFrame) -> DataFrame:
+    """ENTITIES vertex-attribute table from the surface map."""
+    return (
+        surface_map.groupBy("entity_id")
+        .agg(
+            F.first("canonical").alias("canonical"),
+            F.first("ent_type").alias("ent_type"),
+            F.sum("n_mentions").alias("n_mentions"),
+            F.sort_array(F.collect_set("norm")).alias("aliases"),
+        )
+        .select("entity_id", "canonical", "ent_type", "n_mentions", "aliases")
+    )
+
+
+def link_entities(
+    mentions: DataFrame,
+    tau: float = JACCARD_TAU,
+    max_bucket: int = MAX_BUCKET,
+) -> tuple[DataFrame, DataFrame]:
+    """Full G pipeline: mentions -> (surface_map, entities)."""
+    surfaces = distinct_surfaces(mentions)
+    surfaces.cache()
+    edges = candidate_pairs(surfaces, tau=tau, max_bucket=max_bucket)
+    components = connected_components(edges, surfaces.select("ent_type", "norm"))
+    surface_map = canonicalize(surfaces, components)
+    surface_map.cache()
+    return surface_map, build_entities(surface_map)

@@ -1,0 +1,349 @@
+"""Pure-numpy joint entity-relation extraction model (NO pyspark imports).
+
+Re-expresses what the reference computes — a BiLSTM-CRF-style span/mention
+detector and a span-pair relation classifier (BASELINE.json:6; SURVEY.md
+§2.E/§2.F, `[pub: antNRE/src/*]` unverified) — as a deterministic,
+inference-only numpy forward pass. Weights are immutable fixtures
+(fixtures/gen_weights.py, SURVEY.md §5.4): seeded random inits plus
+gazetteer/trigger-lexicon emission nudges so the tiny model discriminates the
+fixture vocabulary. Training is out of scope (SURVEY.md §3.1).
+
+This module is imported BOTH by the Spark extraction stage (inside
+mapInPandas workers) and by the single-process oracle
+(oracle/antnre_oracle.py), so the two run bit-identical math — parity then
+tests exactly what BASELINE.json:14 means: that the distributed run
+reproduces the reference model's per-sentence decisions across shuffles,
+batching, and partitioning.
+
+Determinism properties relied on by the test suite (SURVEY.md §7.3.2):
+- per-sentence outputs are batch-composition invariant: the LSTM recursion
+  masks padding (state carries through pad steps), matmul rows are
+  independent, and all decision margins are >=1.0 by construction, far above
+  float32 noise;
+- all tie-breaks are explicit (lowest tag id in Viterbi; first-by-position
+  span order; lowest relation id on logit ties via argmax).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+
+ENT_TYPES = ["Peop", "Org", "Loc", "Other"]
+REL_TYPES = ["None", "Work_For", "Live_In", "Located_In", "OrgBased_In", "Kill"]
+TAGS = ["O"] + [f"{p}-{t}" for t in ENT_TYPES for p in ("B", "I")]
+# TAGS = [O, B-Peop, I-Peop, B-Org, I-Org, B-Loc, I-Loc, B-Other, I-Other]
+N_TAGS = len(TAGS)
+N_RELS = len(REL_TYPES)
+PAD_ID, UNK_ID = 0, 1
+NEG = -1.0e4
+
+# type-pair relation validity (CoNLL04 semantics, SURVEY.md §5.3): a
+# relation logit is masked unless its argument types are admissible.
+_VALID_PAIRS = {
+    "Work_For": [("Peop", "Org")],
+    "Live_In": [("Peop", "Loc")],
+    "Located_In": [("Loc", "Loc")],
+    "OrgBased_In": [("Org", "Loc")],
+    "Kill": [("Peop", "Peop")],
+}
+# [n_ent_types, n_ent_types, n_rels] — 0 where valid (None always valid)
+REL_VALIDITY = np.full((len(ENT_TYPES), len(ENT_TYPES), N_RELS), NEG, dtype=np.float32)
+REL_VALIDITY[:, :, 0] = 0.0
+for _rel, _pairs in _VALID_PAIRS.items():
+    for _s, _o in _pairs:
+        REL_VALIDITY[ENT_TYPES.index(_s), ENT_TYPES.index(_o), REL_TYPES.index(_rel)] = 0.0
+
+MAX_MENTIONS_PER_SENT = 12  # candidate-pair cap (SURVEY.md §4.2)
+MAX_PAIR_DISTANCE = 25  # token-distance cap for candidate pairs
+MAX_TOKEN_LEN = 20  # char-CNN truncation
+N_CHAR_BUCKETS = 96
+SUB_BATCH = 256  # length-bucketed sub-batch size (SURVEY.md §4.2)
+
+
+@dataclass(frozen=True)
+class Mention:
+    begin: int
+    end: int  # token offsets, end exclusive
+    ent_type: str
+    conf: float
+
+
+@dataclass(frozen=True)
+class Relation:
+    subj: int  # index into the sentence's mention list
+    obj: int
+    pred: str
+    conf: float
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _crf_constraints() -> np.ndarray:
+    """BIO validity mask added to the transition matrix: disallow O->I-x,
+    B-x->I-y (x != y), I-x->I-y (x != y)."""
+    mask = np.zeros((N_TAGS, N_TAGS), dtype=np.float32)
+    for i, src in enumerate(TAGS):
+        for j, dst in enumerate(TAGS):
+            if not dst.startswith("I-"):
+                continue
+            need = dst[2:]
+            ok = (src == f"B-{need}") or (src == f"I-{need}")
+            if not ok:
+                mask[i, j] = NEG
+    return mask
+
+
+CRF_CONSTRAINTS = _crf_constraints()
+START_CONSTRAINTS = np.array(
+    [NEG if t.startswith("I-") else 0.0 for t in TAGS], dtype=np.float32
+)
+
+
+class AntNREModel:
+    """Inference-only joint NER+RE model over whitespace tokens."""
+
+    def __init__(self, weights: dict[str, np.ndarray], vocab: dict[str, int]):
+        self.w = {k: np.asarray(v, dtype=np.float32) for k, v in weights.items()}
+        self.vocab = vocab
+        self.hidden = self.w["lstm_fw_U"].shape[1]
+
+    @classmethod
+    def from_files(cls, npz_path: str, vocab_path: str) -> "AntNREModel":
+        with np.load(npz_path) as z:
+            weights = {k: z[k] for k in z.files}
+        with open(vocab_path) as f:
+            vocab = json.load(f)
+        return cls(weights, vocab)
+
+    # ---- encoding -------------------------------------------------------
+
+    def _token_ids(self, tokens: list[str]) -> np.ndarray:
+        v = self.vocab
+        return np.array([v.get(t.lower(), UNK_ID) for t in tokens], dtype=np.int64)
+
+    def _char_feats(self, unique_tokens: list[str]) -> np.ndarray:
+        """Char-CNN per unique token: embed -> width-3 conv -> relu -> maxpool.
+        (reference's char-CNN word encoder, `[pub: word_encoder.py]`)."""
+        ce, cw, cb = self.w["char_emb"], self.w["char_conv_W"], self.w["char_conv_b"]
+        d = ce.shape[1]
+        out = np.zeros((len(unique_tokens), cw.shape[0]), dtype=np.float32)
+        for i, tok in enumerate(unique_tokens):
+            s = tok.lower()[:MAX_TOKEN_LEN]
+            ids = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+            ids = ids.astype(np.int64) % N_CHAR_BUCKETS
+            emb = ce[ids]  # [L, d]
+            padded = np.vstack([np.zeros((1, d), np.float32), emb, np.zeros((1, d), np.float32)])
+            wins = np.concatenate(
+                [padded[:-2], padded[1:-1], padded[2:]], axis=1
+            )  # [L, 3d]
+            conv = np.maximum(wins @ cw.T + cb, 0.0)  # [L, c_out]
+            out[i] = conv.max(axis=0)
+        return out
+
+    def _lstm_dir(self, x: np.ndarray, mask: np.ndarray, direction: str) -> np.ndarray:
+        """Masked LSTM over padded batch [B, T, in] -> [B, T, h].
+
+        Pad steps carry state through unchanged, so each row's outputs are
+        independent of pad length and of the other rows in the batch.
+        """
+        W = self.w[f"lstm_{direction}_W"]  # [4h, in]
+        U = self.w[f"lstm_{direction}_U"]  # [4h, h]
+        b = self.w[f"lstm_{direction}_b"]  # [4h]
+        B, T, _ = x.shape
+        h = np.zeros((B, self.hidden), dtype=np.float32)
+        c = np.zeros((B, self.hidden), dtype=np.float32)
+        out = np.zeros((B, T, self.hidden), dtype=np.float32)
+        steps = range(T) if direction == "fw" else range(T - 1, -1, -1)
+        H = self.hidden
+        for t in steps:
+            g = x[:, t, :] @ W.T + h @ U.T + b  # [B, 4h]
+            i = _sigmoid(g[:, :H])
+            f = _sigmoid(g[:, H : 2 * H])
+            gg = np.tanh(g[:, 2 * H : 3 * H])
+            o = _sigmoid(g[:, 3 * H :])
+            c_new = f * c + i * gg
+            h_new = o * np.tanh(c_new)
+            m = mask[:, t : t + 1]
+            c = m * c_new + (1.0 - m) * c
+            h = m * h_new + (1.0 - m) * h
+            out[:, t, :] = h * m
+        return out
+
+    def encode(self, tokens_batch: list[list[str]]) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Return per sentence (hidden [T, 2h], emissions [T, n_tags]).
+
+        Sentences are length-bucketed into sub-batches (sorted by length,
+        chunks of SUB_BATCH) to bound padding waste — the Spark-era
+        equivalent of the reference's length-bucketed minibatches
+        (SURVEY.md §4.2) — then results are restored to input order.
+        """
+        n = len(tokens_batch)
+        results: list = [None] * n
+        order = sorted(range(n), key=lambda i: (len(tokens_batch[i]), i))
+        # char features once per unique token in the whole call
+        uniq = sorted({t for toks in tokens_batch for t in toks})
+        char_map = {t: f for t, f in zip(uniq, self._char_feats(uniq))}
+        emb = self.w["word_emb"]
+        gaz = self.w["gaz_emis"]
+        eW, eb = self.w["emit_W"], self.w["emit_b"]
+        cdim = self.w["char_conv_W"].shape[0]
+
+        for s in range(0, n, SUB_BATCH):
+            idxs = order[s : s + SUB_BATCH]
+            lens = [len(tokens_batch[i]) for i in idxs]
+            T = max(lens) if lens else 0
+            B = len(idxs)
+            x = np.zeros((B, T, emb.shape[1] + cdim), dtype=np.float32)
+            mask = np.zeros((B, T), dtype=np.float32)
+            ids_all = []
+            for bi, i in enumerate(idxs):
+                toks = tokens_batch[i]
+                ids = self._token_ids(toks)
+                ids_all.append(ids)
+                L = len(toks)
+                mask[bi, :L] = 1.0
+                x[bi, :L, : emb.shape[1]] = emb[ids]
+                for p, t in enumerate(toks):
+                    x[bi, p, emb.shape[1] :] = char_map[t]
+            fw = self._lstm_dir(x, mask, "fw")
+            bw = self._lstm_dir(x, mask, "bw")
+            hid = np.concatenate([fw, bw], axis=2)  # [B, T, 2h]
+            emis = hid @ eW + eb  # [B, T, n_tags]
+            for bi, i in enumerate(idxs):
+                L = len(tokens_batch[i])
+                e = emis[bi, :L, :] + gaz[ids_all[bi]]
+                results[i] = (hid[bi, :L, :], e)
+        return results
+
+    # ---- CRF decode + spans --------------------------------------------
+
+    def viterbi(self, emissions: np.ndarray) -> np.ndarray:
+        """CRF Viterbi decode with BIO constraints; ties -> lowest tag id
+        (np.argmax's first-max rule). `[pub: seq_decoder.py]` semantics."""
+        trans = self.w["crf_transitions"] + CRF_CONSTRAINTS
+        T = emissions.shape[0]
+        if T == 0:
+            return np.zeros(0, dtype=np.int64)
+        score = emissions[0] + START_CONSTRAINTS
+        back = np.zeros((T, N_TAGS), dtype=np.int64)
+        for t in range(1, T):
+            cand = score[:, None] + trans  # [src, dst]
+            back[t] = cand.argmax(axis=0)
+            score = cand.max(axis=0) + emissions[t]
+        tags = np.zeros(T, dtype=np.int64)
+        tags[-1] = int(score.argmax())
+        for t in range(T - 1, 0, -1):
+            tags[t - 1] = back[t, tags[t]]
+        return tags
+
+    @staticmethod
+    def spans_from_tags(tag_ids: np.ndarray) -> list[tuple[int, int, str]]:
+        """BIO tag sequence -> (begin, end, type) spans, first-by-position.
+        (`[pub: ent_span_generator.py]`; the SQL-expressible window mirror
+        of this scan is tested as operator E4 — see __spark_entry__.py.)"""
+        spans: list[tuple[int, int, str]] = []
+        start, cur = -1, None
+        for i, tid in enumerate(list(tag_ids) + [0]):
+            tag = TAGS[int(tid)] if tid < N_TAGS else "O"
+            if tag.startswith("B-"):
+                if cur is not None:
+                    spans.append((start, i, cur))
+                start, cur = i, tag[2:]
+            elif tag.startswith("I-") and cur == tag[2:]:
+                continue
+            else:
+                if cur is not None:
+                    spans.append((start, i, cur))
+                start, cur = -1, None
+        return spans
+
+    def extract_mentions(
+        self, hidden: np.ndarray, emissions: np.ndarray
+    ) -> list[Mention]:
+        tag_ids = self.viterbi(emissions)
+        probs = _softmax(emissions, axis=1)
+        mentions = []
+        for b, e, t in self.spans_from_tags(tag_ids):
+            conf = float(np.round(probs[np.arange(b, e), tag_ids[b:e]].mean(), 6))
+            mentions.append(Mention(b, e, t, conf))
+        return mentions[:MAX_MENTIONS_PER_SENT]
+
+    # ---- relation classification ---------------------------------------
+
+    def classify_relations(
+        self,
+        hidden: np.ndarray,
+        token_ids: np.ndarray,
+        mentions: list[Mention],
+    ) -> list[Relation]:
+        """Span-pair MLP over (subj_mean ⊕ obj_mean ⊕ between_mean) with
+        trigger-lexicon and type-pair nudges; emit argmax != None.
+        (`[pub: rel_feat_extractor.py, rel_decoder.py]` semantics.)"""
+        if len(mentions) < 2:
+            return []
+        W1, b1 = self.w["rel_W1"], self.w["rel_b1"]
+        W2, b2 = self.w["rel_W2"], self.w["rel_b2"]
+        pair_bias = self.w["rel_pair_bias"]  # [4, 4, n_rels]
+        trig = self.w["rel_trig"]  # [V, n_rels]
+        out: list[Relation] = []
+        span_vecs = {
+            i: hidden[m.begin : m.end].mean(axis=0) for i, m in enumerate(mentions)
+        }
+        for i, mi in enumerate(mentions):
+            for j, mj in enumerate(mentions):
+                if i == j or abs(mi.begin - mj.begin) > MAX_PAIR_DISTANCE:
+                    continue
+                lo, hi = min(mi.end, mj.end), max(mi.begin, mj.begin)
+                between = hidden[lo:hi] if hi > lo else None
+                between_vec = (
+                    between.mean(axis=0)
+                    if between is not None and len(between)
+                    else np.zeros(hidden.shape[1], dtype=np.float32)
+                )
+                feat = np.concatenate([span_vecs[i], span_vecs[j], between_vec])
+                logits = np.maximum(feat @ W1 + b1, 0.0) @ W2 + b2
+                ti = ENT_TYPES.index(mi.ent_type)
+                tj = ENT_TYPES.index(mj.ent_type)
+                logits = logits + pair_bias[ti, tj] + REL_VALIDITY[ti, tj]
+                trig_sum = (
+                    trig[token_ids[lo:hi]].sum(axis=0)
+                    if hi > lo
+                    else np.zeros(N_RELS, dtype=np.float32)
+                )
+                trig_sum = np.where(REL_VALIDITY[ti, tj] < 0, 0.0, trig_sum)
+                if trig_sum[1:].max(initial=0.0) <= 0.0:
+                    logits[0] += 6.0  # no admissible trigger between -> None
+                logits = logits + trig_sum
+                if mi.begin > mj.begin:
+                    logits[0] += 8.0  # prefer textual-order (subj first)
+                k = int(logits.argmax())
+                if k != 0:
+                    conf = float(np.round(_softmax(logits)[k], 6))
+                    out.append(Relation(i, j, REL_TYPES[k], conf))
+        return out
+
+    # ---- fused entry ----------------------------------------------------
+
+    def extract(
+        self, tokens_batch: list[list[str]]
+    ) -> list[tuple[list[Mention], list[Relation]]]:
+        """One forward pass per sentence -> (mentions, relations). This is
+        the unit the Spark mapInPandas stage and the oracle both call."""
+        encoded = self.encode(tokens_batch)
+        results = []
+        for toks, (hidden, emissions) in zip(tokens_batch, encoded):
+            mentions = self.extract_mentions(hidden, emissions)
+            rels = self.classify_relations(hidden, self._token_ids(toks), mentions)
+            results.append((mentions, rels))
+        return results

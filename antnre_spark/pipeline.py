@@ -1,0 +1,167 @@
+"""End-to-end jobs with per-partition resume (SURVEY.md §3.2-§3.3).
+
+kg_extract:  transcripts -> documents -> sentences -> mentions + relations
+kg_link:     mentions -> entity linking -> triples + vertices + metrics
+
+Partitioning strategy (SURVEY.md §4.3.6): conv_id is bucketed with
+pmod(xxhash64(conv_id), N). Extraction is conversation-local, so from the
+C1 assembly shuffle through mention/relation explode there is no further
+shuffle; outputs are written bucket-partitioned so the linking job and any
+re-extract can prune by bucket. Each bucket commits an IcebergLite
+overwrite_partitions snapshot + a marker; a killed run resumes by
+anti-joining planned buckets against committed markers and redoing only the
+missing ones — overwrite semantics make the redo idempotent (0 duplicate
+rows), tested in tests/test_resume.py.
+
+At 10^12-turn scale the same layout holds: days(ts) x bucket(conv_id, N)
+with N sized so one bucket's turns fit one executor's batch pipeline; the
+driver loop over buckets becomes a loop over (day, bucket) slices.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from antnre_spark import assemble, extract, link, materialize, segment
+from antnre_spark.icelite import IceLite
+from antnre_spark.metrics import MarkerStore
+
+
+@dataclass
+class PipelineConfig:
+    out_root: str
+    weights_npz: str
+    vocab_json: str
+    n_buckets: int = 8
+    token_budget: int = extract.TOKEN_BUDGET
+    jaccard_tau: float = link.JACCARD_TAU
+    max_turns_per_doc: int = assemble.MAX_TURNS_PER_DOC
+    model_hash: str = field(default="")
+
+    def __post_init__(self) -> None:
+        if not self.model_hash and os.path.exists(self.weights_npz):
+            with open(self.weights_npz, "rb") as f:
+                self.model_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+
+    def table(self, name: str) -> IceLite:
+        return IceLite(os.path.join(self.out_root, name))
+
+    def markers(self) -> MarkerStore:
+        return MarkerStore(os.path.join(self.out_root, "_markers"))
+
+
+def bucket_of(col: F.Column, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def extract_job(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    buckets: list[int] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run extraction bucket-by-bucket with completion markers."""
+    markers = cfg.markers()
+    committed = markers.committed("extract") if resume else set()
+    planned = buckets if buckets is not None else list(range(cfg.n_buckets))
+    todo = [b for b in planned if str(b) not in committed]
+
+    weights_bc, vocab_bc = extract.broadcast_model(
+        spark, cfg.weights_npz, cfg.vocab_json
+    )
+    docs_t = cfg.table("documents")
+    ment_t = cfg.table("mentions")
+    rel_t = cfg.table("relations")
+
+    src = transcripts.withColumn("bucket", bucket_of(F.col("conv_id"), cfg.n_buckets))
+    stats = {"buckets_planned": len(planned), "buckets_run": 0, "mentions": 0, "relations": 0}
+
+    for b in todo:
+        part = src.filter(F.col("bucket") == b)
+        input_rows = part.count()
+
+        turns = assemble.dedup_turns(part.drop("bucket"))
+        docs = assemble.assemble_documents(turns, cfg.max_turns_per_doc).withColumn(
+            "bucket", F.lit(b)
+        )
+        docs_t.overwrite_partitions(docs, ["bucket"])
+
+        ext_turns = assemble.filter_extractable(assemble.explode_documents(docs))
+        sentences = segment.segment_turns(ext_turns)
+        extracted = extract.extract_sentences(
+            sentences, weights_bc, vocab_bc, cfg.token_budget
+        )
+        extracted = extracted.localCheckpoint(eager=True)  # one forward pass
+
+        mentions = extract.explode_mentions(extracted).withColumn("bucket", F.lit(b))
+        relations = extract.explode_relations(extracted).withColumn("bucket", F.lit(b))
+        ment_snap = ment_t.overwrite_partitions(mentions, ["bucket"])
+        rel_t.overwrite_partitions(relations, ["bucket"])
+
+        n_m = ment_t.load(spark, partition_filter={"bucket": [str(b)]}).count()
+        n_r = rel_t.load(spark, partition_filter={"bucket": [str(b)]}).count()
+        markers.commit(
+            stage="extract",
+            partition_key=str(b),
+            snapshot_id=str(ment_snap),
+            input_rows=input_rows,
+            output_rows=n_m + n_r,
+            model_hash=cfg.model_hash,
+        )
+        stats["buckets_run"] += 1
+        stats["mentions"] += n_m
+        stats["relations"] += n_r
+    return stats
+
+
+def link_job(spark: SparkSession, cfg: PipelineConfig) -> dict:
+    """Entity linking + triple materialization over all extracted buckets."""
+    markers = cfg.markers()
+    mentions = cfg.table("mentions").load(spark)
+    relations = cfg.table("relations").load(spark)
+    if mentions is None or relations is None:
+        raise RuntimeError("run extract_job first")
+
+    surface_map, entities = link.link_entities(mentions, tau=cfg.jaccard_tau)
+    resolved = materialize.resolve_mentions(mentions, surface_map)
+    triples = materialize.build_triples(relations, resolved)
+    triples = triples.localCheckpoint(eager=True)
+    vertices = materialize.build_vertices(triples, entities)
+
+    ent_t = cfg.table("entities")
+    tri_t = cfg.table("triples")
+    vert_t = cfg.table("vertices")
+    ent_t.overwrite_partitions(entities.withColumn("part", F.lit(0)), ["part"])
+    tri_snap = tri_t.overwrite_partitions(triples, ["pred"])
+    vert_t.overwrite_partitions(vertices.withColumn("part", F.lit(0)), ["part"])
+
+    n_triples = tri_t.total_rows()
+    metrics_rows = [
+        json.loads(r)
+        for r in materialize.partition_metrics(triples).toJSON().collect()
+    ]
+    markers.commit(
+        stage="link_materialize",
+        partition_key="all",
+        snapshot_id=str(tri_snap),
+        input_rows=mentions.count(),
+        output_rows=vert_t.total_rows(),
+        triple_count=n_triples,
+        model_hash=cfg.model_hash,
+    )
+    return {"triples": n_triples, "per_pred": metrics_rows}
+
+
+def full_run(
+    spark: SparkSession, transcripts: DataFrame, cfg: PipelineConfig, resume: bool = True
+) -> dict:
+    s1 = extract_job(spark, transcripts, cfg, resume=resume)
+    s2 = link_job(spark, cfg)
+    return {**s1, **s2}

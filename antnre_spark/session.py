@@ -1,0 +1,61 @@
+"""SparkSession builder with scale-oriented defaults (SURVEY.md §0.3, §4).
+
+Defaults are tuned for the sandbox (local[N], single JVM) but every setting
+is the one we would ship to a 1000-executor cluster:
+
+- AQE on (skew-join splitting + partition coalescing — BASELINE.json:6's
+  "AQE skew-join splitting" obligation is config, not code; SURVEY.md §4.1).
+- Arrow on with a capped records-per-batch so a pandas-UDF batch can never
+  blow up a Python worker (size-capped extraction batches, SURVEY.md §4.3.3).
+- UTC session timezone so timestamp semantics are machine-independent.
+- shuffle.partitions sized by caller: tests use 8-32; a real cluster would
+  use ~2-3x total cores (AQE coalesces the excess).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_MAX_RECORDS_PER_BATCH = 512
+
+
+def get_spark(
+    app_name: str = "antnre-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``cores=None`` → honor $SPARK_GRAFT_CPUS, else local[*].
+    """
+    if cores is not None:
+        master = f"local[{cores}]"
+    else:
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env_cpus}]" if env_cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for key, value in (extra or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

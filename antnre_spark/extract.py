@@ -32,12 +32,14 @@ from antnre_spark.schema import EXTRACTED
 # token budget per model sub-call: bounds padded-matrix memory inside the UDF
 TOKEN_BUDGET = 16_384
 
-_MODEL_CACHE: dict[int, AntNREModel] = {}
+_MODEL_CACHE: dict[str, AntNREModel] = {}
 
 
 def broadcast_model(spark: SparkSession, npz_path: str, vocab_path: str):
     """A3: driver-side numpy load -> spark broadcast (never a DataFrame).
-    Returns (weights_bc, vocab_bc)."""
+    Returns (weights_bc, vocab_bc, model_key). model_key is a content hash
+    used as the per-worker model-cache key (Broadcast.id is driver-only)."""
+    import hashlib
     import json
 
     import numpy as np
@@ -46,17 +48,18 @@ def broadcast_model(spark: SparkSession, npz_path: str, vocab_path: str):
         weights = {k: z[k] for k in z.files}
     with open(vocab_path) as f:
         vocab = json.load(f)
+    with open(npz_path, "rb") as f:
+        model_key = hashlib.sha256(f.read()).hexdigest()[:16]
     sc = spark.sparkContext
-    return sc.broadcast(weights), sc.broadcast(vocab)
+    return sc.broadcast(weights), sc.broadcast(vocab), model_key
 
 
-def _model_for(weights_bc, vocab_bc) -> AntNREModel:
-    key = weights_bc.id
-    model = _MODEL_CACHE.get(key)
+def _model_for(weights_bc, vocab_bc, model_key: str) -> AntNREModel:
+    model = _MODEL_CACHE.get(model_key)
     if model is None:
         model = AntNREModel(weights_bc.value, vocab_bc.value)
         _MODEL_CACHE.clear()  # at most one model resident per worker
-        _MODEL_CACHE[key] = model
+        _MODEL_CACHE[model_key] = model
     return model
 
 
@@ -78,11 +81,12 @@ def extract_sentences(
     weights_bc,
     vocab_bc,
     token_budget: int = TOKEN_BUDGET,
+    model_key: str = "default",
 ) -> DataFrame:
     """sentences(conv_id, turn_idx, sent_idx, tokens, ...) -> EXTRACTED."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _model_for(weights_bc, vocab_bc)
+        model = _model_for(weights_bc, vocab_bc, model_key)
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -73,7 +73,7 @@ def extract_job(
     planned = buckets if buckets is not None else list(range(cfg.n_buckets))
     todo = [b for b in planned if str(b) not in committed]
 
-    weights_bc, vocab_bc = extract.broadcast_model(
+    weights_bc, vocab_bc, model_key = extract.broadcast_model(
         spark, cfg.weights_npz, cfg.vocab_json
     )
     docs_t = cfg.table("documents")
@@ -96,7 +96,7 @@ def extract_job(
         ext_turns = assemble.filter_extractable(assemble.explode_documents(docs))
         sentences = segment.segment_turns(ext_turns)
         extracted = extract.extract_sentences(
-            sentences, weights_bc, vocab_bc, cfg.token_budget
+            sentences, weights_bc, vocab_bc, cfg.token_budget, model_key
         )
         extracted = extracted.localCheckpoint(eager=True)  # one forward pass
 

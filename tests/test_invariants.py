@@ -1,0 +1,124 @@
+"""Order/partitioning invariance + property-based robustness
+(SURVEY.md §5.2.4, §5.2.6)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from antnre_spark import assemble, extract, segment
+from antnre_spark.schema import TRANSCRIPTS
+
+
+@pytest.fixture(scope="module")
+def model_bcs(spark, fixture_paths):
+    return extract.broadcast_model(
+        spark, fixture_paths["weights"], fixture_paths["vocab"]
+    )
+
+
+def run_extraction(spark, transcripts, model_bcs, partitions):
+    w_bc, v_bc, key = model_bcs
+    base = assemble.dedup_turns(transcripts).repartition(partitions)
+    turns = assemble.filter_extractable(base)
+    sentences = segment.segment_turns(turns)
+    extracted = extract.extract_sentences(sentences, w_bc, v_bc, model_key=key)
+    mentions = extract.explode_mentions(extracted)
+    return {tuple(r) for r in mentions.collect()}
+
+
+class TestPartitionInvariance:
+    def test_extraction_same_under_1_vs_16_partitions(
+        self, spark, transcripts_df, model_bcs
+    ):
+        """Changing partition count (and therefore Arrow batch composition)
+        must not change a single emitted mention (SURVEY.md §7.3.2)."""
+        sample = transcripts_df.filter(F.col("conv_id") < "c000020")
+        a = run_extraction(spark, sample, model_bcs, 1)
+        b = run_extraction(spark, sample, model_bcs, 16)
+        assert a == b
+
+    def test_token_budget_rechunk_invariance(
+        self, spark, transcripts_df, model_bcs
+    ):
+        """A tiny token budget forces many in-UDF chunks; output must be
+        identical to one big chunk (batch-composition invariance)."""
+        w_bc, v_bc, key = model_bcs
+        sample = assemble.filter_extractable(
+            assemble.dedup_turns(
+                transcripts_df.filter(F.col("conv_id") < "c000010")
+            )
+        )
+        sentences = segment.segment_turns(sample)
+        big = {
+            tuple(r)
+            for r in extract.explode_mentions(
+                extract.extract_sentences(sentences, w_bc, v_bc, 10**9, key)
+            ).collect()
+        }
+        small = {
+            tuple(r)
+            for r in extract.explode_mentions(
+                extract.extract_sentences(sentences, w_bc, v_bc, 32, key)
+            ).collect()
+        }
+        assert big == small
+
+
+ROLES = st.sampled_from(["user", "assistant", "tool", "system"])
+WORDS = st.sampled_from(
+    ["John", "Smith", "works", "for", "Acme", "Corp", ".", "hello", "?", "Gotham"]
+)
+
+
+@st.composite
+def transcript_rows(draw):
+    n = draw(st.integers(1, 12))
+    rows = []
+    for i in range(n):
+        conv = f"c{draw(st.integers(0, 2))}"
+        turn = draw(st.integers(0, 5))
+        text = " ".join(draw(st.lists(WORDS, min_size=1, max_size=12)))
+        secs = draw(st.integers(0, 10_000))
+        rows.append(
+            (
+                conv,
+                turn,
+                draw(ROLES),
+                text,
+                None,
+                datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=secs),
+            )
+        )
+    return rows
+
+
+class TestPropertyBased:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=transcript_rows())
+    def test_pipeline_never_crashes_and_schema_stable(
+        self, spark, model_bcs, rows
+    ):
+        """Random tiny transcripts: extraction runs, schema is stable, every
+        mention's provenance resolves to a real (conv_id, turn_idx)."""
+        w_bc, v_bc, key = model_bcs
+        df = spark.createDataFrame(rows, TRANSCRIPTS)
+        base = assemble.dedup_turns(df)
+        sentences = segment.segment_turns(assemble.filter_extractable(base))
+        mentions = extract.explode_mentions(
+            extract.extract_sentences(sentences, w_bc, v_bc, model_key=key)
+        )
+        assert mentions.columns == [
+            "conv_id", "turn_idx", "sent_idx", "mention_id",
+            "begin", "end", "ent_type", "surface", "conf",
+        ]
+        orphan = mentions.join(base, ["conv_id", "turn_idx"], "left_anti")
+        assert orphan.count() == 0

@@ -1,0 +1,124 @@
+"""G-operators: linking semantics on synthetic graphs + fixture-level
+alias-merge / decoy-separation checks (SURVEY.md §2.G, FIXTURES.md F3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from antnre_spark import link
+
+
+@pytest.fixture(scope="module")
+def fixture_entities(spark, pipeline_out):
+    cfg = pipeline_out["cfg"]
+    return cfg.table("entities").load(spark).collect()
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_min_label(self, spark):
+        """A length-6 chain needs several propagation iterations — the loop
+        must run to fixpoint, not a fixed small count."""
+        names = ["a", "b", "c", "d", "e", "f"]
+        edges = spark.createDataFrame(
+            [("T", names[i], names[i + 1]) for i in range(5)],
+            ["ent_type", "norm_a", "norm_b"],
+        )
+        nodes = spark.createDataFrame(
+            [("T", n) for n in names] + [("T", "zz_isolated")],
+            ["ent_type", "norm"],
+        )
+        got = {
+            r["norm"]: r["component"]
+            for r in link.connected_components(edges, nodes).collect()
+        }
+        assert all(got[n] == "a" for n in names)
+        assert got["zz_isolated"] == "zz_isolated"
+
+    def test_two_components_stay_separate(self, spark):
+        edges = spark.createDataFrame(
+            [("T", "a", "b"), ("T", "x", "y")], ["ent_type", "norm_a", "norm_b"]
+        )
+        nodes = spark.createDataFrame(
+            [("T", n) for n in ["a", "b", "x", "y"]], ["ent_type", "norm"]
+        )
+        got = {
+            r["norm"]: r["component"]
+            for r in link.connected_components(edges, nodes).collect()
+        }
+        assert got == {"a": "a", "b": "a", "x": "x", "y": "x"}
+
+    def test_type_partitioned(self, spark):
+        """Same norm under different ent_types must NOT merge."""
+        edges = spark.createDataFrame(
+            [("Loc", "springfield", "sprngfield")],
+            ["ent_type", "norm_a", "norm_b"],
+        )
+        nodes = spark.createDataFrame(
+            [("Loc", "springfield"), ("Loc", "sprngfield"), ("Peop", "springfield")],
+            ["ent_type", "norm"],
+        )
+        got = {
+            (r["ent_type"], r["norm"]): r["component"]
+            for r in link.connected_components(edges, nodes).collect()
+        }
+        assert got[("Loc", "sprngfield")] == "springfield"
+        assert got[("Peop", "springfield")] == "springfield"  # own component
+
+
+class TestCandidatePairs:
+    def test_bucket_cap_drops_degenerate_buckets(self, spark):
+        """> max_bucket identical-signature surfaces: bucket dropped, no
+        quadratic pair explosion, no crash."""
+        surfaces = spark.createDataFrame(
+            [("T", f"same same {i:03d}", 1, f"x{i}") for i in range(10)],
+            ["ent_type", "norm", "n_mentions", "top_surface"],
+        )
+        pairs_capped = link.candidate_pairs(surfaces, max_bucket=1)
+        assert pairs_capped.count() == 0
+
+    def test_verified_pair_found(self, spark):
+        surfaces = spark.createDataFrame(
+            [
+                ("Loc", "springfield", 5, "Springfield"),
+                ("Loc", "sprinfield", 1, "Sprinfield"),
+                ("Loc", "gotham", 3, "Gotham"),
+            ],
+            ["ent_type", "norm", "n_mentions", "top_surface"],
+        )
+        got = {
+            (r["norm_a"], r["norm_b"])
+            for r in link.candidate_pairs(surfaces).collect()
+        }
+        assert ("sprinfield", "springfield") in got
+        assert all("gotham" not in p for pair in got for p in pair)
+
+
+class TestFixtureLinkQuality:
+    def test_decoys_not_merged(self, fixture_entities):
+        for r in fixture_entities:
+            aliases = list(r["aliases"])
+            has_falls = any(a.endswith(" falls") for a in aliases)
+            has_base = any(not a.endswith(" falls") for a in aliases)
+            assert not (has_falls and has_base), (
+                f"decoy merged into {r['entity_id']}: {aliases}"
+            )
+
+    def test_typo_aliases_merged(self, fixture_entities):
+        merged = [r for r in fixture_entities if len(r["aliases"]) > 1]
+        assert len(merged) >= 20  # fixture plants ~30 typo/variant clusters
+
+    def test_canonical_is_most_frequent_surface(self, spark, pipeline_out):
+        cfg = pipeline_out["cfg"]
+        ents = cfg.table("entities").load(spark)
+        ments = cfg.table("mentions").load(spark)
+        # the hub org's canonical must be its dominant raw surface
+        hub = (
+            ments.filter(F.col("ent_type") == "Org")
+            .groupBy("surface")
+            .count()
+            .orderBy(F.col("count").desc())
+            .first()
+        )
+        canon = {r["canonical"] for r in ents.collect()}
+        assert hub["surface"] in canon

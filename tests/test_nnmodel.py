@@ -1,0 +1,117 @@
+"""Unit tests for the numpy model (SURVEY.md §5.2.1): BIO span scan,
+Viterbi constraints, batch-composition invariance, tie-break determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from antnre_spark.nnmodel import (
+    CRF_CONSTRAINTS,
+    NEG,
+    TAGS,
+    AntNREModel,
+)
+
+
+@pytest.fixture(scope="module")
+def model(fixture_paths):
+    return AntNREModel.from_files(fixture_paths["weights"], fixture_paths["vocab"])
+
+
+def tag_ids(*names: str) -> np.ndarray:
+    return np.array([TAGS.index(n) for n in names], dtype=np.int64)
+
+
+class TestSpansFromTags:
+    def test_simple_spans(self):
+        tags = tag_ids("B-Peop", "I-Peop", "O", "B-Org", "O")
+        assert AntNREModel.spans_from_tags(tags) == [(0, 2, "Peop"), (3, 4, "Org")]
+
+    def test_adjacent_b_starts_new_span(self):
+        tags = tag_ids("B-Loc", "B-Loc", "I-Loc")
+        assert AntNREModel.spans_from_tags(tags) == [(0, 1, "Loc"), (1, 3, "Loc")]
+
+    def test_trailing_span_closed(self):
+        tags = tag_ids("O", "B-Other", "I-Other")
+        assert AntNREModel.spans_from_tags(tags) == [(1, 3, "Other")]
+
+    def test_empty(self):
+        assert AntNREModel.spans_from_tags(np.zeros(0, dtype=np.int64)) == []
+
+
+class TestCRFConstraints:
+    def test_o_to_i_forbidden(self):
+        assert CRF_CONSTRAINTS[TAGS.index("O"), TAGS.index("I-Peop")] == NEG
+
+    def test_b_to_matching_i_allowed(self):
+        assert CRF_CONSTRAINTS[TAGS.index("B-Org"), TAGS.index("I-Org")] == 0.0
+
+    def test_b_to_mismatched_i_forbidden(self):
+        assert CRF_CONSTRAINTS[TAGS.index("B-Org"), TAGS.index("I-Loc")] == NEG
+
+    def test_decode_never_emits_invalid_bio(self, model):
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            emis = rng.standard_normal((12, len(TAGS))).astype(np.float32) * 3
+            tags = [TAGS[t] for t in model.viterbi(emis)]
+            prev = "O"
+            for t in tags:
+                if t.startswith("I-"):
+                    assert prev in (f"B-{t[2:]}", f"I-{t[2:]}"), tags
+                prev = t
+
+
+class TestBatchInvariance:
+    """The core determinism property (SURVEY.md §7.3.2): per-sentence output
+    must not depend on which other sentences share the batch."""
+
+    SENTS = [
+        "John Smith works for Acme Corp .".split(),
+        "Mary Johnson killed David Moore in Narnia .".split(),
+        "the meeting starts at noon .".split(),
+        "Globex Industries is based in Gotham .".split(),
+        "a b c d e f g h i j k l m n o p q r s t".split(),
+    ]
+
+    def test_alone_vs_batched(self, model):
+        batched = model.extract(self.SENTS)
+        for i, sent in enumerate(self.SENTS):
+            alone = model.extract([sent])[0]
+            assert alone == batched[i]
+
+    def test_order_shuffled(self, model):
+        fwd = model.extract(self.SENTS)
+        rev = model.extract(self.SENTS[::-1])[::-1]
+        assert fwd == rev
+
+    def test_repeated_call_identical(self, model):
+        assert model.extract(self.SENTS) == model.extract(self.SENTS)
+
+
+class TestExtractionSemantics:
+    def test_known_sentence(self, model):
+        [(mentions, relations)] = model.extract(
+            ["John Smith works for Acme Corp .".split()]
+        )
+        assert [(m.begin, m.end, m.ent_type) for m in mentions] == [
+            (0, 2, "Peop"),
+            (4, 6, "Org"),
+        ]
+        assert [(r.subj, r.obj, r.pred) for r in relations] == [(0, 1, "Work_For")]
+
+    def test_no_entities_in_filler(self, model):
+        [(mentions, relations)] = model.extract(
+            ["please review the attached report .".split()]
+        )
+        assert mentions == [] and relations == []
+
+    def test_type_validity_mask(self, model):
+        # Peop-Peop can only be Kill/None; "met" must NOT yield Work_For
+        [(mentions, relations)] = model.extract(
+            ["John Smith met Mary Johnson at Acme Corp .".split()]
+        )
+        peop_idx = [i for i, m in enumerate(mentions) if m.ent_type == "Peop"]
+        for r in relations:
+            if r.subj in peop_idx and r.obj in peop_idx:
+                assert r.pred == "Kill"

@@ -1,0 +1,100 @@
+"""Resume idempotence (SURVEY.md §5.2.5; BASELINE.json:6): a run killed
+after k buckets resumes by processing ONLY uncommitted buckets, final
+tables are identical to an uninterrupted run, and re-running a complete
+pipeline is a no-op with zero duplicate triples. Late-arriving turns
+(second snapshot) re-extract only the affected buckets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from antnre_spark.pipeline import PipelineConfig, bucket_of, extract_job, link_job
+
+
+@pytest.fixture()
+def cfg_factory(fixture_paths, tmp_path):
+    def make(name: str) -> PipelineConfig:
+        return PipelineConfig(
+            out_root=str(tmp_path / name),
+            weights_npz=fixture_paths["weights"],
+            vocab_json=fixture_paths["vocab"],
+            n_buckets=4,
+        )
+
+    return make
+
+
+def triple_set(spark, cfg):
+    t = cfg.table("triples").load(spark)
+    return {
+        (r["subj"], r["pred"], r["obj"], r["n_evidence"]) for r in t.collect()
+    }
+
+
+class TestResume:
+    def test_kill_after_partial_then_resume(self, spark, transcripts_df, cfg_factory):
+        interrupted = cfg_factory("interrupted")
+        # simulate a crash: only buckets 0,1 commit
+        extract_job(spark, transcripts_df, interrupted, buckets=[0, 1])
+        assert interrupted.markers().committed("extract") == {"0", "1"}
+
+        # resume: must process exactly the remaining buckets
+        stats = extract_job(spark, transcripts_df, interrupted)
+        assert stats["buckets_run"] == 2
+        link_job(spark, interrupted)
+
+        fresh = cfg_factory("fresh")
+        extract_job(spark, transcripts_df, fresh)
+        link_job(spark, fresh)
+        assert triple_set(spark, interrupted) == triple_set(spark, fresh)
+
+    def test_rerun_is_noop(self, spark, transcripts_df, cfg_factory):
+        cfg = cfg_factory("noop")
+        extract_job(spark, transcripts_df, cfg)
+        again = extract_job(spark, transcripts_df, cfg)
+        assert again["buckets_run"] == 0
+
+    def test_no_duplicate_mentions_after_forced_rerun(
+        self, spark, transcripts_df, cfg_factory
+    ):
+        cfg = cfg_factory("forced")
+        extract_job(spark, transcripts_df, cfg)
+        # force bucket 0 re-extract (resume=False) — overwrite semantics
+        extract_job(spark, transcripts_df, cfg, buckets=[0], resume=False)
+        m = cfg.table("mentions").load(spark)
+        dupes = (
+            m.groupBy("mention_id").count().filter(F.col("count") > 1).count()
+        )
+        assert dupes == 0
+
+
+class TestLateSnapshot:
+    def test_late_turns_reextract_only_affected_buckets(
+        self, spark, transcripts_df, fixture_paths, cfg_factory
+    ):
+        cfg = cfg_factory("late")
+        extract_job(spark, transcripts_df, cfg)
+
+        late = spark.read.parquet(fixture_paths["transcripts_late"])
+        affected = [
+            r["bucket"]
+            for r in late.select(
+                bucket_of(F.col("conv_id"), cfg.n_buckets).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        merged = transcripts_df.unionByName(late)
+        stats = extract_job(spark, merged, cfg, buckets=affected, resume=False)
+        assert stats["buckets_run"] == len(affected)
+
+        # full recompute from merged input must agree exactly
+        fresh = cfg_factory("late_fresh")
+        extract_job(spark, merged, fresh)
+        for tbl in ("mentions", "relations"):
+            a = cfg.table(tbl).load(spark)
+            b = fresh.table(tbl).load(spark)
+            ca = {tuple(r) for r in a.drop("bucket").collect()}
+            cb = {tuple(r) for r in b.drop("bucket").collect()}
+            assert ca == cb

@@ -1,0 +1,292 @@
+"""Document deduplication for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale shapes:
+- exact: hash-groupBy (md5 of normalized text) — one shuffle, map-side
+  partial agg; the keeper rule (min doc_id) is total and deterministic.
+- n-gram Jaccard: shingle-explode -> pair-count join; exact but quadratic
+  within shared-shingle groups — the correctness baseline for the
+  approximate paths, run it on samples/buckets, not the full corpus.
+- MinHash+LSH: reuses the linking machinery (antnre_spark.hashing): per-doc
+  word-shingle signatures -> band keys -> bucket self-join; candidate count
+  is linear in bucket sizes, capped like link.candidate_pairs.
+- SimHash: 64-bit signature; near-dup iff Hamming distance <= k, found by
+  block-join (4 blocks of 16 bits: d<=3 guarantees one equal block).
+- embedding cosine: random-hyperplane LSH buckets then exact cosine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+from antnre_spark import hashing
+from antnre_spark.textops import token_hash, tokens_of
+
+
+def normalize_text(col: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+# ---- exact dedup --------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct normalized text: keeper = min id, plus the
+    duplicate count. groupBy on md5(norm) — never on the full text, so
+    shuffle rows stay small at 100 TB."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---- n-gram Jaccard (exact baseline) ------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle hashes (JVM-side: transform over a
+    sliding index range; md5-based token hashes keep shingle rows narrow)."""
+    toks = tokens_of(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - F.lit(1))
+    gram = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.transform(
+                F.slice(toks, i + 1, n), lambda t, j: (j + 1) * token_hash(t)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<long>"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    tau: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard >= tau pairs via shingle-explode + pair counting.
+
+    explode -> self-join on shingle -> count shared -> J = shared /
+    (|A| + |B| - shared). All equi-joins; the shingle join key is a long.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    nonempty = sh.filter(F.col("n_sh") > 0)
+    exploded = nonempty.select("id", "n_sh", F.explode("sh").alias("g"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "g"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "g"
+    )
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= tau)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---- MinHash + LSH (the scale path) -------------------------------------
+
+
+_BANDS_T = ArrayType(StringType(), False)
+
+
+@F.pandas_udf(_BANDS_T)
+def _doc_band_udf(norm_texts: pd.Series) -> pd.Series:
+    """MinHash band keys over word 3-gram shingles of the normalized text
+    (hashing module shared with linking -> deterministic everywhere)."""
+    import numpy as np
+
+    out = []
+    for t in norm_texts:
+        words = t.split(" ")
+        if len(words) < 3:
+            grams = {t}
+        else:
+            grams = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        codes = np.array(
+            sorted(
+                __import__("zlib").crc32(g.encode("utf-8")) & 0x7FFFFFFF
+                for g in grams
+            ),
+            dtype=np.int64,
+        )
+        sig = hashing.minhash_signature(codes)
+        out.append(hashing.band_keys(sig))
+    return pd.Series(out)
+
+
+def minhash_dup_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band. Bucket-capped
+    self-join exactly like entity linking (SURVEY.md §2.G G3-G4)."""
+    signed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_doc_band_udf(normalize_text(F.col(text_col)))).alias("band"),
+    )
+    sizes = signed.groupBy("band").agg(F.count("*").alias("n"))
+    bounded = signed.join(sizes.filter(F.col("n") <= max_bucket), "band").drop("n")
+    a = bounded.select(F.col("id").alias("id_a"), "band")
+    b = bounded.select(F.col("id").alias("id_b"), "band")
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---- SimHash ------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def _simhash_udf(norm_texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word unigrams (crc32-seeded bit votes)."""
+    import zlib
+
+    import numpy as np
+
+    out = []
+    for t in norm_texts:
+        votes = np.zeros(64, dtype=np.int64)
+        for w in t.split(" "):
+            h = zlib.crc32(w.encode("utf-8"))
+            h2 = zlib.crc32((w + "#").encode("utf-8"))
+            bits = (int(h) << 32) | int(h2)
+            for i in range(64):
+                votes[i] += 1 if (bits >> i) & 1 else -1
+        sig = 0
+        for i in range(64):
+            if votes[i] > 0:
+                sig |= 1 << i
+        # keep in signed-long range for Spark LongType
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via the 4-block
+    pigeonhole join: distance <= 3 implies at least one equal 16-bit block,
+    so the self-join key is (block_idx, block_value) — linear, not n^2."""
+    sh = df.select(F.col(id_col).alias("id"), _simhash_udf(normalize_text(F.col(text_col))).alias("sig"))
+    blocks = sh.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("sig"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "blk", "val")
+    b = blocks.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "blk", "val")
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---- embedding cosine near-dup ------------------------------------------
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH bucket (seeded,
+    deterministic) then exact cosine within bucket. Bucket key = sign
+    pattern over n_planes pseudo-random directions derived from dimension
+    index hashing — computed JVM-side (no UDF)."""
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    # plane p weight for dim i: deterministic pseudo-random in [-1, 1)
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda i: (
+                        F.pmod(F.xxhash64(i * F.lit(1009) + F.lit(p * 7919)), F.lit(2000))
+                        - F.lit(1000)
+                    )
+                    / F.lit(1000.0),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    bucket = F.concat_ws(
+        "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), v.alias("vec"), norm.alias("nrm"), bucket.alias("bkt")
+    ).filter(F.col("nrm") > 0)
+    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"), "bkt")
+    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"), "bkt")
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline, one pass, JVM-side arithmetic
+  (zip_with + aggregate), TakeOrderedAndProject for the top-k — no global
+  sort materialization. Scales as a full scan: right answer for one-off
+  queries and for verifying the approximate path.
+- LSH-bucketed top-k: random-hyperplane buckets (shared with
+  dedup.cosine_dup_pairs); probes only the query's bucket (optionally
+  multi-probe neighbors at Hamming distance 1) — the 100 TB path where a
+  full scan per query is not affordable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_with_lit(vec: Column, query: list[float]) -> Column:
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec, qlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector; ties -> lowest id."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    v = F.col(vec_col)
+    cos = _dot_with_lit(v, query) / (_norm(v) * F.lit(qn))
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(
+    vec: Column, n_planes: int = 8
+) -> Column:
+    """Deterministic random-hyperplane sign bucket (no UDF; weights derived
+    from xxhash64 of (dim, plane) — identical across runs and engines that
+    share the formula)."""
+
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda i: (
+                        F.pmod(
+                            F.xxhash64(i * F.lit(1009) + F.lit(p * 7919)),
+                            F.lit(2000),
+                        )
+                        - F.lit(1000)
+                    )
+                    / F.lit(1000.0),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    return F.concat_ws(
+        "",
+        *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)],
+    )
+
+
+def bucketed_index(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 8
+) -> DataFrame:
+    """Materializable ANN index: (bucket, id, vec, norm). Write this
+    partitioned by bucket; queries prune to one partition."""
+    v = F.col(vec_col)
+    return df.select(
+        hyperplane_bucket(v, n_planes).alias("bucket"),
+        F.col(id_col),
+        v.alias(vec_col),
+        _norm(v).alias("norm"),
+    )
+
+
+def bucketed_topk(
+    index: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: scan only the query's bucket (+ Hamming-1 neighbor
+    buckets when multiprobe) and rank by exact cosine."""
+    import math
+
+    # the query's bucket comes from evaluating the SAME column expression
+    # on a 1-row DataFrame — guarantees formula identity with the index
+    spark = index.sparkSession
+    qdf = spark.createDataFrame([(query,)], f"{vec_col}: array<double>")
+    qbucket = qdf.select(
+        hyperplane_bucket(F.col(vec_col), n_planes).alias("b")
+    ).first()["b"]
+    probes = {qbucket}
+    if multiprobe:
+        for i in range(n_planes):
+            flipped = qbucket[:i] + ("0" if qbucket[i] == "1" else "1") + qbucket[i + 1 :]
+            probes.add(flipped)
+
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    cand = index.filter(F.col("bucket").isin(*sorted(probes)))
+    cos = _dot_with_lit(F.col(vec_col), query) / (F.col("norm") * F.lit(qn))
+    return (
+        cand.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,192 @@
+"""Training-data pipeline operators: dedup (exact/ngram/MinHash/SimHash/
+cosine), similarity search, text analysis, multimodal plumbing — with
+planted duplicates so recall is assertable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from antnre_spark import dedup, multimodal, simsearch, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),                                     # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),           # near dup of 0
+        (3, "completely different text about spark partitions and shuffles"),
+        (4, "  THE   quick brown fox jumps over the lazy dog again and again "),  # ws/case dup
+        (5, "short doc"),
+        (6, "another unrelated document discussing query optimizers at scale"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_normalized_duplicates_collapse(self, docs):
+        out = {r["keeper_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+        assert out[0] == 3  # docs 0, 1, 4 share normalized content
+        assert out[2] == 1 and out[3] == 1
+
+
+class TestNgramJaccard:
+    def test_near_dup_found_exact_not_self(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, tau=0.5).collect()
+        }
+        assert pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+        assert (0, 3) not in pairs
+
+
+class TestMinHashLSH:
+    def test_candidates_cover_true_dups(self, docs):
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_dup_candidates(docs).collect()
+        }
+        assert (0, 1) in cand and (0, 4) in cand and (0, 2) in cand
+        assert (0, 3) not in cand
+
+
+class TestSimHash:
+    def test_hamming_near_dups(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+        }
+        assert pairs[(0, 1)] == 0
+        assert pairs[(0, 4)] == 0  # normalization removes case/ws
+        assert (0, 3) not in pairs  # unrelated doc (true distance ~30)
+
+    def test_pigeonhole_guarantee(self, docs):
+        """4-block join GUARANTEES recall for Hamming <= 3: every pair whose
+        true signature distance is <= 3 must be reported."""
+        import pandas as pd
+
+        sig_fn = dedup._simhash_udf.func
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        norm = {k: " ".join(v.strip().lower().split()) for k, v in texts.items()}
+        sigs = {
+            k: int(s)
+            for k, s in zip(norm, sig_fn(pd.Series(list(norm.values()))))
+        }
+        mask = (1 << 64) - 1
+        truth = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin((sigs[a] ^ sigs[b]) & mask).count("1") <= 3
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+        }
+        assert truth <= got
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+class TestCosineDedup:
+    def test_lsh_finds_near_dup(self, vecs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in dedup.cosine_dup_pairs(vecs, tau=0.95).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+        assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+class TestSimSearch:
+    def test_bruteforce_topk_order(self, vecs):
+        got = [r["vec_id"] for r in simsearch.cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+        assert got == [0, 1, 4]
+
+    def test_bucketed_matches_bruteforce_on_neighbors(self, vecs):
+        idx = simsearch.bucketed_index(vecs)
+        got = [
+            r["vec_id"]
+            for r in simsearch.bucketed_topk(idx, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+        ]
+        exact = [
+            r["vec_id"]
+            for r in simsearch.cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+        ]
+        assert got[0] == exact[0] == 0  # the true nearest always survives
+
+
+class TestTextOps:
+    def test_language_id(self, spark):
+        rows = [
+            (0, "the cat sat on the mat and the dog is in the house"),
+            (1, "der hund ist nicht in der stadt und das ist gut"),
+            (2, "le chat est dans la maison et les oiseaux pour que"),
+            (3, "xyzzy plugh qwerty"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["pred_lang"]
+            for r in textops.with_language_id(df).collect()
+        }
+        assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "beta alpha")], ["doc_id", "text"]
+        )
+        fps = {
+            r["doc_id"]: r["fingerprint"]
+            for r in textops.with_fingerprint(df).collect()
+        }
+        assert fps[0] != fps[1]
+
+    def test_quality_ranges(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat, the dog!?")], ["doc_id", "text"]
+        )
+        r = textops.with_quality_scores(df).collect()[0]
+        assert r["n_tokens"] == 4
+        assert 0 < r["punct_ratio"] < 1
+        assert r["stopword_ratio"] == 0.5
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            ("m1", "image", b"\x89PNG fake bytes", "image/png", 8, 8, None),
+            ("m2", "audio", b"RIFF fake wav", "audio/wav", None, None, 2500),
+            ("m3", "video", b"\x00\x00ftyp fake mp4", "video/mp4", 64, 64, 3500),
+        ]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_feature_extraction_shape_and_determinism(self, media):
+        out = multimodal.extract_features(media).collect()
+        assert {r["media_id"] for r in out} == {"m1", "m2", "m3"}
+        for r in out:
+            assert len(r["feature"]) == multimodal.FEATURE_DIM
+        again = multimodal.extract_features(media).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_frame_sample_plan(self, media):
+        plan = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+        got = sorted((r["media_id"], r["frame_ts_ms"]) for r in plan)
+        assert got == [("m3", 0), ("m3", 1000), ("m3", 2000), ("m3", 3000)]
+
+    def test_media_stats(self, media):
+        stats = {r["kind"]: r["n_items"] for r in multimodal.media_stats(media).collect()}
+        assert stats == {"image": 1, "audio": 1, "video": 1}

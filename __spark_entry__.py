@@ -76,11 +76,27 @@ def _template_pool(n: int = 512) -> list[str]:
     return pool
 
 
-def synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_transcripts(
+    spark: SparkSession, sf_dir: str, mult: int | None = None
+) -> DataFrame:
     """events -> deterministic transcripts (BASELINE.json:15 schema):
     conv_id = user_id, turn order by (ts, event_id), text from the seeded
-    template pool keyed by event_id — row count scales with sf."""
+    template pool keyed by event_id — row count scales with sf.
+
+    ``mult`` (or $SPARK_GRAFT_TURNS_MULT) replicates the corpus K times
+    under distinct conv_ids — used by scaling runs so model compute
+    dominates Spark's fixed per-job costs, as it does at real scale."""
+    if mult is None:
+        mult = int(os.environ.get("SPARK_GRAFT_TURNS_MULT", "1"))
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if mult > 1:
+        events = events.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_rep")
+        ).withColumn(
+            "user_id", F.col("user_id") * mult + F.col("_rep")
+        ).withColumn(
+            "event_id", F.col("event_id") * mult + F.col("_rep")
+        ).drop("_rep")
     pool = F.array(*[F.lit(s) for s in _template_pool()])
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
@@ -113,7 +129,8 @@ def entry(spark: SparkSession) -> DataFrame:
         assemble.filter_extractable(assemble.explode_documents(docs))
     )
     extracted = extract.extract_sentences(
-        sentences, weights_bc, vocab_bc, model_key=model_key
+        sentences, weights_bc, vocab_bc, model_key=model_key,
+        repartition_to=spark.sparkContext.defaultParallelism,
     ).localCheckpoint(eager=True)
     mentions = extract.explode_mentions(extracted)
     relations = extract.explode_relations(extracted)
@@ -1009,7 +1026,10 @@ def q_kg_extract_mentions(spark, sf_dir):
         assemble.filter_extractable(assemble.dedup_turns(transcripts))
     )
     return extract.explode_mentions(
-        extract.extract_sentences(sentences, weights_bc, vocab_bc, model_key=model_key)
+        extract.extract_sentences(
+            sentences, weights_bc, vocab_bc, model_key=model_key,
+            repartition_to=spark.sparkContext.defaultParallelism,
+        )
     )
 
 
@@ -1035,7 +1055,8 @@ def q_kg_triples(spark, sf_dir):
         )
     )
     extracted = extract.extract_sentences(
-        sentences, weights_bc, vocab_bc, model_key=model_key
+        sentences, weights_bc, vocab_bc, model_key=model_key,
+        repartition_to=spark.sparkContext.defaultParallelism,
     ).localCheckpoint(eager=True)
     mentions = extract.explode_mentions(extracted)
     relations = extract.explode_relations(extracted)

@@ -35,16 +35,81 @@ def dedup_turns(transcripts: DataFrame) -> DataFrame:
     """C2: exactly one row per (conv_id, turn_idx), keeping the latest ts.
 
     Retry/duplicate turns are a fixture pathology (FIXTURES.md F1.a). The
-    tie-break is total (ts DESC, then text ASC) so the survivor is
-    deterministic even for equal timestamps.
+    tie-break is total (ts DESC, then text DESC — chosen so the fused
+    single-shuffle path below can reproduce it with an ascending struct
+    sort) so the survivor is deterministic even for equal timestamps.
     """
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("ts").desc(), F.col("text").asc_nulls_last()
+        F.col("ts").desc(), F.col("text").desc_nulls_last()
     )
     return (
         transcripts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def assemble_documents_fused(
+    transcripts: DataFrame, max_turns_per_doc: int = MAX_TURNS_PER_DOC
+) -> DataFrame:
+    """C2+C1 fused: dedup + window-ordered assembly in ONE shuffle.
+
+    The separate operators shuffle twice (row_number by (conv_id, turn_idx),
+    then groupBy conv_id). At 10^12 turns that doubled shuffle volume is the
+    stage-1 bottleneck, so the production path groups ONCE by conv_id,
+    sorts the collected struct array by (turn_idx, ts, text) ascending, and
+    keeps the LAST element per turn_idx — exactly the (ts DESC, text DESC)
+    dedup survivor — with a JVM-side filter lambda. Long conversations are
+    then sliced into continuation docs (doc_seq) in-array.
+
+    Equivalence with dedup_turns + assemble_documents is asserted in
+    tests/test_assemble.py.
+    """
+    arr = F.sort_array(
+        F.collect_list(F.struct("turn_idx", "ts", "text", "role", "tool"))
+    )
+    grouped = transcripts.groupBy("conv_id").agg(arr.alias("_arr"))
+    n = F.size("_arr")
+    # keep element i iff it is the last entry for its turn_idx; the lookup
+    # index is clamped to n because ANSI mode makes out-of-bounds
+    # element_at throw (the clamped self-compare is masked by i == n-1)
+    deduped = F.filter(
+        F.col("_arr"),
+        lambda x, i: (i == n - 1)
+        | (
+            F.element_at(F.col("_arr"), F.least(i + 2, n).cast("int"))["turn_idx"]
+            != x["turn_idx"]
+        ),
+    )
+    # reorder struct fields to the public TURN_STRUCT layout
+    turns = F.transform(
+        deduped,
+        lambda x: F.struct(
+            x["turn_idx"].alias("turn_idx"),
+            x["role"].alias("role"),
+            x["text"].alias("text"),
+            x["tool"].alias("tool"),
+            x["ts"].alias("ts"),
+        ),
+    )
+    with_turns = grouped.select("conv_id", turns.alias("_turns"))
+    k = max_turns_per_doc
+    n_docs = F.ceil(F.size("_turns") / F.lit(k)).cast("int")
+    slices = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_docs - 1, F.lit(0))),
+        lambda i: F.slice(F.col("_turns"), (i * k + 1).cast("int"), k),
+    )
+    return (
+        with_turns.select(
+            "conv_id", F.posexplode(slices).alias("doc_seq", "turns")
+        )
+        .filter(F.size("turns") > 0)
+        .select(
+            "conv_id",
+            F.col("doc_seq").cast("int").alias("doc_seq"),
+            F.size("turns").cast("int").alias("n_turns"),
+            "turns",
+        )
     )
 
 

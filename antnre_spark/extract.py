@@ -82,8 +82,21 @@ def extract_sentences(
     vocab_bc,
     token_budget: int = TOKEN_BUDGET,
     model_key: str = "default",
+    repartition_to: int | None = None,
 ) -> DataFrame:
-    """sentences(conv_id, turn_idx, sent_idx, tokens, ...) -> EXTRACTED."""
+    """sentences(conv_id, turn_idx, sent_idx, tokens, ...) -> EXTRACTED.
+
+    ``repartition_to``: explicit parallelism for the model stage. The
+    extraction is per-sentence compute, so its ideal partition count tracks
+    CORES, not data size — AQE sizes partitions for shuffle cost and will
+    under-parallelize a compute stage fed by a small shuffle. Round-robin
+    repartition also load-balances pathological conversations (a 10^4-turn
+    conversation's sentences spread over all workers — skew cap by
+    construction). At petabyte scale leave None and size the upstream
+    bucketing instead: reshuffling raw text is not free.
+    """
+    if repartition_to:
+        sentences = sentences.repartition(repartition_to)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _model_for(weights_bc, vocab_bc, model_key)

@@ -111,12 +111,15 @@ def candidate_pairs(
     exploded = signed.select(
         "ent_type", "norm", "grams", F.explode("bands").alias("band")
     )
-    bucket_sizes = exploded.groupBy("ent_type", "band").agg(
-        F.count("*").alias("_bsz")
+    # bucket-size cap via a window count: one shuffle on (ent_type, band),
+    # whose hash partitioning the self-join below then REUSES — vs the
+    # groupBy+join-back formulation which costs three shuffles.
+    wband = Window.partitionBy("ent_type", "band")
+    bounded = (
+        exploded.withColumn("_bsz", F.count("*").over(wband))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
     )
-    bounded = exploded.join(
-        bucket_sizes.filter(F.col("_bsz") <= max_bucket), ["ent_type", "band"]
-    ).drop("_bsz")
 
     a = bounded.select(
         "ent_type", "band",
@@ -174,8 +177,17 @@ def connected_components(
         edges.select("ent_type", F.col("norm_b").alias("src"), F.col("norm_a").alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
-    labels = nodes.select("ent_type", "norm", F.col("norm").alias("component"))
+
+    # iterate ONLY over nodes that touch an edge — isolated nodes (the vast
+    # majority) keep their own label and rejoin after the loop. Shrinks the
+    # per-iteration working set from |surfaces| to |edge endpoints|.
+    edge_nodes = (
+        sym.select("ent_type", F.col("src").alias("norm")).distinct()
+    )
+    labels = edge_nodes.select("ent_type", "norm", F.col("norm").alias("component"))
     labels = labels.localCheckpoint(eager=True)
+    if labels.count() == 0:
+        return nodes.select("ent_type", "norm", F.col("norm").alias("component"))
 
     for _ in range(max_iters):
         neighbor_min = (
@@ -207,7 +219,12 @@ def connected_components(
         ).localCheckpoint(eager=True)
         if changed == 0:
             break
-    return labels
+    # isolated nodes (no edges) never entered the loop: own-label rejoin
+    return nodes.join(labels, ["ent_type", "norm"], "left").select(
+        "ent_type",
+        "norm",
+        F.coalesce("component", F.col("norm")).alias("component"),
+    )
 
 
 def canonicalize(surfaces: DataFrame, components: DataFrame) -> DataFrame:

@@ -87,16 +87,17 @@ def extract_job(
         part = src.filter(F.col("bucket") == b)
         input_rows = part.count()
 
-        turns = assemble.dedup_turns(part.drop("bucket"))
-        docs = assemble.assemble_documents(turns, cfg.max_turns_per_doc).withColumn(
-            "bucket", F.lit(b)
-        )
+        # fused C2+C1: dedup + ordered assembly in a single shuffle
+        docs = assemble.assemble_documents_fused(
+            part.drop("bucket"), cfg.max_turns_per_doc
+        ).withColumn("bucket", F.lit(b))
         docs_t.overwrite_partitions(docs, ["bucket"])
 
         ext_turns = assemble.filter_extractable(assemble.explode_documents(docs))
         sentences = segment.segment_turns(ext_turns)
         extracted = extract.extract_sentences(
-            sentences, weights_bc, vocab_bc, cfg.token_budget, model_key
+            sentences, weights_bc, vocab_bc, cfg.token_budget, model_key,
+            repartition_to=spark.sparkContext.defaultParallelism,
         )
         extracted = extracted.localCheckpoint(eager=True)  # one forward pass
 

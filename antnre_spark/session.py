@@ -39,12 +39,24 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32
 
+    # one BLAS thread per python worker: the workers themselves are the
+    # parallelism; nested BLAS threads oversubscribe cores (set before the
+    # JVM starts so forked python workers inherit it)
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: leave coalescePartitions.parallelismFirst at its default
+        # (true). Setting it false coalesces small shuffles aggressively,
+        # which starves the downstream compute-bound pandas-UDF stage of
+        # parallelism (measured: 3x slowdown of the model stage). Compute
+        # stages instead request their parallelism explicitly
+        # (extract.extract_sentences repartition_to).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

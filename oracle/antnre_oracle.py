@@ -56,10 +56,10 @@ def _normalize(surface: str) -> str:
 
 def _dedup_turns(t: pd.DataFrame) -> pd.DataFrame:
     """Latest ts wins per (conv_id, turn_idx); tie -> lexicographically
-    smallest text (mirrors assemble.dedup_turns)."""
+    LARGEST text (mirrors assemble.dedup_turns: ts DESC, text DESC)."""
     t = t.sort_values(
         ["conv_id", "turn_idx", "ts", "text"],
-        ascending=[True, True, False, True],
+        ascending=[True, True, False, False],
         kind="mergesort",
     )
     return t.drop_duplicates(["conv_id", "turn_idx"], keep="first").reset_index(

@@ -89,6 +89,32 @@ class TestAssembleDocuments:
         assert back.count() == base.count()
 
 
+class TestFusedAssembly:
+    def test_fused_equals_separate_ops(self, spark, transcripts_df):
+        """assemble_documents_fused (1 shuffle) must agree exactly with
+        dedup_turns + assemble_documents (2 shuffles) on the full fixture,
+        including the duplicate-turn pathology."""
+        sep = assemble.assemble_documents(
+            assemble.dedup_turns(transcripts_df), max_turns_per_doc=64
+        )
+        fused = assemble.assemble_documents_fused(
+            transcripts_df, max_turns_per_doc=64
+        )
+        key = lambda r: (r["conv_id"], r["doc_seq"])  # noqa: E731
+        a = sorted(sep.collect(), key=key)
+        b = sorted(fused.collect(), key=key)
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert (ra["conv_id"], ra["doc_seq"], ra["n_turns"]) == (
+                rb["conv_id"], rb["doc_seq"], rb["n_turns"],
+            )
+            assert ra["turns"] == rb["turns"], ra["conv_id"]
+
+    def test_fused_single_shuffle(self, transcripts_df):
+        plan = assemble.assemble_documents_fused(transcripts_df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
 class TestSessionize:
     def test_gap_splits_session(self, tiny_transcripts):
         out = assemble.sessionize(assemble.dedup_turns(tiny_transcripts), 30)

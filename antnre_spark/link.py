@@ -129,11 +129,14 @@ def candidate_pairs(
         "ent_type", "band",
         F.col("norm").alias("norm_b"), F.col("grams").alias("grams_b"),
     )
+    # NOTE: no dropDuplicates — a pair agreeing on k bands is verified k
+    # times (Jaccard/levenshtein on tiny gram arrays is cheaper than the
+    # dedup shuffle) and duplicate edges are a no-op for connected
+    # components. Downstream consumers needing distinct edges dedup there.
     pairs = (
         a.join(b, ["ent_type", "band"])
         .filter(F.col("norm_a") < F.col("norm_b"))
         .select("ent_type", "norm_a", "norm_b", "grams_a", "grams_b")
-        .dropDuplicates(["ent_type", "norm_a", "norm_b"])
     )
     # two-signal verification (thresholds in antnre_spark.hashing): Jaccard
     # candidates confirmed by either very high overlap or tiny edit
@@ -189,10 +192,10 @@ def connected_components(
     if labels.count() == 0:
         return nodes.select("ent_type", "norm", F.col("norm").alias("component"))
 
-    for _ in range(max_iters):
+    def step(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
             sym.join(
-                labels.select(
+                lbl.select(
                     "ent_type",
                     F.col("norm").alias("src"),
                     F.col("component").alias("src_comp"),
@@ -202,21 +205,28 @@ def connected_components(
             .groupBy("ent_type", F.col("dst").alias("norm"))
             .agg(F.min("src_comp").alias("nbr_comp"))
         )
-        updated = (
-            labels.join(neighbor_min, ["ent_type", "norm"], "left")
-            .select(
-                "ent_type",
-                "norm",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_comp", F.col("component"))
-                ).alias("new_component"),
-                F.col("component"),
-            )
+        return lbl.join(neighbor_min, ["ent_type", "norm"], "left").select(
+            "ent_type",
+            "norm",
+            F.least(
+                F.col("component"), F.coalesce("nbr_comp", F.col("component"))
+            ).alias("component"),
         )
-        changed = updated.filter(F.col("new_component") != F.col("component")).count()
-        labels = updated.select(
-            "ent_type", "norm", F.col("new_component").alias("component")
-        ).localCheckpoint(eager=True)
+
+    # two propagation steps per materialization+convergence check: alias
+    # clusters have tiny diameters, so checking every step doubles the
+    # count of driver actions for no information. Each round therefore
+    # advances the frontier by 2 hops, then checkpoints (lineage cut) and
+    # counts changes once.
+    for _ in range(max_iters // 2 + 1):
+        prev = labels
+        labels = step(step(labels)).localCheckpoint(eager=True)
+        changed = (
+            labels.join(prev.withColumnRenamed("component", "prev_comp"),
+                        ["ent_type", "norm"])
+            .filter(F.col("component") != F.col("prev_comp"))
+            .count()
+        )
         if changed == 0:
             break
     # isolated nodes (no edges) never entered the loop: own-label rejoin
@@ -236,14 +246,12 @@ def canonicalize(surfaces: DataFrame, components: DataFrame) -> DataFrame:
     (ent_type, norm, entity_id, canonical, n_mentions).
     """
     joined = surfaces.join(components, ["ent_type", "norm"])
-    w = Window.partitionBy("ent_type", "component").orderBy(
-        F.col("n_mentions").desc(), F.col("top_surface").asc(), F.col("norm").asc()
-    )
-    ranked = joined.withColumn("_rk", F.row_number().over(w))
-    canon = ranked.filter(F.col("_rk") == 1).select(
-        "ent_type",
-        "component",
-        F.col("top_surface").alias("canonical"),
+    # one aggregation instead of window+filter+join: min_by over the total
+    # order (n_mentions DESC, top_surface ASC, norm ASC)
+    canon = joined.groupBy("ent_type", "component").agg(
+        F.expr(
+            "min_by(top_surface, struct(-n_mentions as a, top_surface as b, norm as c))"
+        ).alias("canonical")
     )
     return (
         joined.join(canon, ["ent_type", "component"])

@@ -1,0 +1,101 @@
+"""Structured-Streaming ingestion (SURVEY.md §2.J).
+
+The reference has no streaming; the v1 obligation is incremental batch
+(snapshot diff + idempotent re-extract, antnre_spark/pipeline.py). This
+module is the documented streaming extension: the SAME stage functions
+(segment -> extract -> explode) run inside ``foreachBatch``, so batch and
+streaming share one code path — late-arriving turns are handled either by
+watermarked session windows here or by the next snapshot diff there.
+
+Scale notes: file-source streaming scales by input-directory partitioning
+(days(ts)/bucket); foreachBatch gives exactly-once per micro-batch when the
+sink commit is idempotent — ours is (mention_id is a pure function of
+content position, and the IcebergLite append records batch provenance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from antnre_spark import assemble, extract, segment
+from antnre_spark.icelite import IceLite
+from antnre_spark.schema import TRANSCRIPTS
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of transcript turns (one parquet drop per
+    micro-batch; schema fixed — no inference in prod paths)."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def streaming_session_counts(
+    turns: DataFrame, gap_minutes: int = 30, watermark_minutes: int = 60
+) -> DataFrame:
+    """C3 in streaming form: watermarked session windows over ts — late
+    turns beyond the watermark are dropped deterministically; sessions
+    close after gap_minutes of silence."""
+    return (
+        turns.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes"),
+            F.col("conv_id"),
+        )
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+    weights_npz: str,
+    vocab_json: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """readStream -> foreachBatch(extract stages) -> IcebergLite append.
+
+    Each micro-batch runs the identical segment/extract/explode pipeline as
+    the batch job; the mention/relation tables gain a ``batch_id`` column
+    for exactly-once replay audits."""
+    weights_bc, vocab_bc, model_key = extract.broadcast_model(
+        spark, weights_npz, vocab_json
+    )
+    ment_t = IceLite(f"{out_root}/mentions_stream")
+    rel_t = IceLite(f"{out_root}/relations_stream")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sentences = segment.segment_turns(
+            assemble.filter_extractable(batch_df)
+        )
+        extracted = extract.extract_sentences(
+            sentences, weights_bc, vocab_bc, model_key=model_key
+        ).localCheckpoint(eager=True)
+        bid = F.lit(batch_id).alias("batch_id")
+        ment_t.append(
+            extract.explode_mentions(extracted).select("*", bid), ["batch_id"]
+        )
+        rel_t.append(
+            extract.explode_relations(extracted).select("*", bid), ["batch_id"]
+        )
+
+    return (
+        stream_transcripts(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

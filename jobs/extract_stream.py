@@ -1,0 +1,49 @@
+"""Streaming extraction job (SURVEY.md §2.J extension) — spark-submit entry.
+
+spark-submit --py-files kg.zip jobs/extract_stream.py \
+    --in <transcript parquet drop dir> --out <table root> --checkpoint <dir>
+
+Watches the input directory for parquet drops, runs the same extraction
+stages per micro-batch (exactly-once via checkpoint + idempotent sink),
+then exits when caught up (availableNow trigger).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from antnre_spark.icelite import IceLite  # noqa: E402
+from antnre_spark.session import get_spark  # noqa: E402
+from antnre_spark.streaming import start_extraction_stream  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="input_dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--weights", default="fixtures/data/weights.npz")
+    ap.add_argument("--vocab", default="fixtures/data/vocab.json")
+    args = ap.parse_args()
+
+    spark = get_spark("kg_extract_stream")
+    q = start_extraction_stream(
+        spark, args.input_dir, args.out, args.weights, args.vocab, args.checkpoint
+    )
+    q.awaitTermination()
+    ment = IceLite(f"{args.out}/mentions_stream")
+    rel = IceLite(f"{args.out}/relations_stream")
+    print(
+        json.dumps(
+            {"mentions": ment.total_rows(), "relations": rel.total_rows()}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -135,8 +135,7 @@ def entry(spark: SparkSession) -> DataFrame:
     mentions = extract.explode_mentions(extracted)
     relations = extract.explode_relations(extracted)
     surface_map, _entities = link.link_entities(mentions)
-    resolved = materialize.resolve_mentions(mentions, surface_map)
-    return materialize.build_triples(relations, resolved)
+    return materialize.build_triples(relations, surface_map)
 
 
 # ======================================================================
@@ -1061,8 +1060,7 @@ def q_kg_triples(spark, sf_dir):
     mentions = extract.explode_mentions(extracted)
     relations = extract.explode_relations(extracted)
     surface_map, _ = link.link_entities(mentions)
-    resolved = materialize.resolve_mentions(mentions, surface_map)
-    return materialize.build_triples(relations, resolved)
+    return materialize.build_triples(relations, surface_map)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -125,8 +125,16 @@ def extract_sentences(
                             {
                                 "subj_begin": mentions[r.subj].begin,
                                 "subj_end": mentions[r.subj].end,
+                                "subj_ent_type": mentions[r.subj].ent_type,
+                                "subj_surface": " ".join(
+                                    tk[mentions[r.subj].begin : mentions[r.subj].end]
+                                ),
                                 "obj_begin": mentions[r.obj].begin,
                                 "obj_end": mentions[r.obj].end,
+                                "obj_ent_type": mentions[r.obj].ent_type,
+                                "obj_surface": " ".join(
+                                    tk[mentions[r.obj].begin : mentions[r.obj].end]
+                                ),
                                 "pred": r.pred,
                                 "conf": r.conf,
                             }
@@ -178,7 +186,9 @@ def explode_mentions(extracted: DataFrame) -> DataFrame:
 
 def explode_relations(extracted: DataFrame) -> DataFrame:
     """EXTRACTED -> RELATIONS rows; mention ids reconstructed from span
-    offsets (no join back to mentions needed — zero shuffle)."""
+    offsets and argument (type, surface) carried inline (no join back to
+    mentions needed — zero shuffle; triple resolution joins only the small
+    distinct-surface map)."""
     r = extracted.select(
         "conv_id", "turn_idx", "sent_idx", F.explode("relations").alias("r")
     )
@@ -194,6 +204,10 @@ def explode_relations(extracted: DataFrame) -> DataFrame:
             F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx"),
             F.col("r.obj_begin"), F.col("r.obj_end"),
         ).alias("obj_mention_id"),
+        F.col("r.subj_ent_type").alias("subj_ent_type"),
+        F.col("r.subj_surface").alias("subj_surface"),
+        F.col("r.obj_ent_type").alias("obj_ent_type"),
+        F.col("r.obj_surface").alias("obj_surface"),
         F.col("r.pred").alias("pred"),
         F.col("r.conf").alias("conf"),
     )

@@ -34,31 +34,39 @@ def resolve_mentions(
 
 def build_triples(
     relations: DataFrame,
-    resolved_mentions: DataFrame,
+    surface_map: DataFrame,
     provenance_cap: int = PROVENANCE_CAP,
-    broadcast_mentions: bool = False,
+    broadcast_map: bool = True,
 ) -> DataFrame:
     """H1+H2: resolve both relation arguments, then dedup into TRIPLES with
     evidence counts and capped, deterministically-ordered provenance.
 
-    The two mention joins are equi on mention_id; mention_id is prefixed by
-    conv_id, so with conv_id-bucketed storage both sides co-partition and
-    the joins are shuffle-free on a real cluster (SURVEY.md §4.3.6).
+    Relations carry their arguments' (ent_type, surface) inline (set at
+    extraction time — see RELATION_STRUCT), so resolution joins the
+    DISTINCT-SURFACE map twice, not a mention-sized id map: at bench scale
+    these are broadcast hash joins; at petabyte scale the map is still
+    orders of magnitude smaller than mentions (surfaces dedupe hub
+    entities to one row). The old mention-id formulation cost two
+    full sort-merge joins over every mention and anti-scaled with cores.
     """
-    ment = resolved_mentions.select("mention_id", "entity_id")
-    if broadcast_mentions:
-        ment = F.broadcast(ment)
-    subj = ment.select(
-        F.col("mention_id").alias("subj_mention_id"),
+    sm = surface_map.select("ent_type", "norm", "entity_id")
+    if broadcast_map:
+        sm = F.broadcast(sm)
+    subj_map = sm.select(
+        F.col("ent_type").alias("subj_ent_type"),
+        F.col("norm").alias("_subj_norm"),
         F.col("entity_id").alias("subj"),
     )
-    obj = ment.select(
-        F.col("mention_id").alias("obj_mention_id"),
+    obj_map = sm.select(
+        F.col("ent_type").alias("obj_ent_type"),
+        F.col("norm").alias("_obj_norm"),
         F.col("entity_id").alias("obj"),
     )
     resolved = (
-        relations.join(subj, "subj_mention_id", "inner")
-        .join(obj, "obj_mention_id", "inner")
+        relations.withColumn("_subj_norm", normalize_surface(F.col("subj_surface")))
+        .withColumn("_obj_norm", normalize_surface(F.col("obj_surface")))
+        .join(subj_map, ["subj_ent_type", "_subj_norm"], "inner")
+        .join(obj_map, ["obj_ent_type", "_obj_norm"], "inner")
     )
     return (
         resolved.groupBy("subj", "pred", "obj")

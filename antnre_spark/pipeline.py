@@ -131,8 +131,7 @@ def link_job(spark: SparkSession, cfg: PipelineConfig) -> dict:
         raise RuntimeError("run extract_job first")
 
     surface_map, entities = link.link_entities(mentions, tau=cfg.jaccard_tau)
-    resolved = materialize.resolve_mentions(mentions, surface_map)
-    triples = materialize.build_triples(relations, resolved)
+    triples = materialize.build_triples(relations, surface_map)
     triples = triples.localCheckpoint(eager=True)
     vertices = materialize.build_vertices(triples, entities)
 

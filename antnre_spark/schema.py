@@ -72,12 +72,20 @@ MENTION_STRUCT = StructType(
     ]
 )
 
+# relations carry their argument mentions' (type, surface) inline: triple
+# resolution then joins the DISTINCT-SURFACE map (small, broadcastable)
+# instead of the mention-sized id map — the joins that dominated triple
+# materialization at scale disappear (see materialize.build_triples).
 RELATION_STRUCT = StructType(
     [
         StructField("subj_begin", IntegerType(), False),
         StructField("subj_end", IntegerType(), False),
+        StructField("subj_ent_type", StringType(), False),
+        StructField("subj_surface", StringType(), False),
         StructField("obj_begin", IntegerType(), False),
         StructField("obj_end", IntegerType(), False),
+        StructField("obj_ent_type", StringType(), False),
+        StructField("obj_surface", StringType(), False),
         StructField("pred", StringType(), False),
         StructField("conf", DoubleType(), False),
     ]

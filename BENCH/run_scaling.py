@@ -22,12 +22,20 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, sf_dir: str, query: str, mult: int = 1, warmup: bool = True) -> dict:
+def run_once(
+    cpus: int,
+    sf_dir: str,
+    query: str,
+    mult: int = 1,
+    warmup: bool = True,
+    repeats: int = 3,
+) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_TURNS_MULT"] = str(mult)
     env["SPARK_GRAFT_WARMUP"] = "1" if warmup else "0"
+    env["SPARK_GRAFT_REPEATS"] = str(repeats)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), query],
         capture_output=True,
@@ -47,37 +55,43 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--mult", type=int, default=8, help="turns multiplier")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
     n, n4 = args.n, 4 * args.n
 
-    lo = run_once(n, args.sf, args.query, args.mult, not args.no_warmup)
-    hi = run_once(n4, args.sf, args.query, args.mult, not args.no_warmup)
-    t_lo = lo["queries"][args.query]
-    t_hi = hi["queries"][args.query]
+    lo = run_once(n, args.sf, args.query, args.mult, not args.no_warmup, args.repeats)
+    hi = run_once(n4, args.sf, args.query, args.mult, not args.no_warmup, args.repeats)
     turns = lo["input_turns"]
-    thr_lo = turns / t_lo
-    thr_hi = turns / t_hi
-    eff = thr_hi / (4 * thr_lo)
     report = {
-        "query": args.query,
         "sf": lo["sf"],
         "input_turns": turns,
-        f"local[{n}]_sec": t_lo,
-        f"local[{n4}]_sec": t_hi,
-        f"local[{n}]_turns_per_sec": round(thr_lo, 1),
-        f"local[{n4}]_turns_per_sec": round(thr_hi, 1),
-        "scaling_efficiency": round(eff, 3),
-        "pass": eff >= 0.8,
+        "repeats": args.repeats,
         "measured_at": datetime.now(timezone.utc).isoformat(),
+        "queries": {},
     }
+    md_rows = []
+    for qname in args.query.split(","):
+        t_lo = lo["queries"][qname]
+        t_hi = hi["queries"][qname]
+        thr_lo, thr_hi = turns / t_lo, turns / t_hi
+        eff = thr_hi / (4 * thr_lo)
+        report["queries"][qname] = {
+            f"local[{n}]_sec": t_lo,
+            f"local[{n4}]_sec": t_hi,
+            f"local[{n}]_turns_per_sec": round(thr_lo, 1),
+            f"local[{n4}]_turns_per_sec": round(thr_hi, 1),
+            "scaling_efficiency": round(eff, 3),
+            "pass": eff >= 0.8,
+        }
+        md_rows.append(
+            f"| {qname} | local[{n}] | {turns} | {t_lo} | {round(thr_lo,1)} |\n"
+            f"| {qname} | local[{n4}] | {turns} | {t_hi} | {round(thr_hi,1)} |\n"
+            f"| **{qname} efficiency** | — | — | — | **{round(eff,3)}** |\n"
+        )
     print(json.dumps(report, indent=2))
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "a") as f:
-        f.write(
-            f"\n| {args.query} | local[{n}] | {turns} | {t_lo} | {round(thr_lo,1)} |\n"
-            f"| {args.query} | local[{n4}] | {turns} | {t_hi} | {round(thr_hi,1)} |\n"
-            f"| **efficiency** | — | — | — | **{round(eff,3)}** |\n"
-        )
+        f.write("\n" + "".join(md_rows))
 
 
 if __name__ == "__main__":

@@ -109,33 +109,34 @@ def synth_transcripts(
     )
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full KG pipeline on transcripts synthesized from sf0.001."""
-    import sys
-
-    sys.path.insert(0, REPO)
+def run_kg_pipeline(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+    """The flagship pipeline body: transcripts DF -> triples DF.
+    Shared by entry(), q_kg_triples, and bench.py."""
     _ensure_fixtures()
     from antnre_spark import assemble, extract, link, materialize, segment
 
-    transcripts = synth_transcripts(spark, "/root/testdata/sf0.001")
     weights_bc, vocab_bc, model_key = extract.broadcast_model(
         spark,
         os.path.join(FIXDIR, "weights.npz"),
         os.path.join(FIXDIR, "vocab.json"),
     )
-    turns = assemble.dedup_turns(transcripts)
-    docs = assemble.assemble_documents(turns)
+    docs = assemble.assemble_documents_fused(transcripts)
     sentences = segment.segment_turns(
         assemble.filter_extractable(assemble.explode_documents(docs))
     )
     extracted = extract.extract_sentences(
         sentences, weights_bc, vocab_bc, model_key=model_key,
-        repartition_to=spark.sparkContext.defaultParallelism,
+        repartition_to=10 * spark.sparkContext.defaultParallelism,
     ).localCheckpoint(eager=True)
     mentions = extract.explode_mentions(extracted)
     relations = extract.explode_relations(extracted)
     surface_map, _entities = link.link_entities(mentions)
     return materialize.build_triples(relations, surface_map)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full KG pipeline on transcripts synthesized from sf0.001."""
+    return run_kg_pipeline(spark, synth_transcripts(spark, "/root/testdata/sf0.001"))
 
 
 # ======================================================================
@@ -1027,40 +1028,14 @@ def q_kg_extract_mentions(spark, sf_dir):
     return extract.explode_mentions(
         extract.extract_sentences(
             sentences, weights_bc, vocab_bc, model_key=model_key,
-            repartition_to=spark.sparkContext.defaultParallelism,
+            repartition_to=10 * spark.sparkContext.defaultParallelism,
         )
     )
 
 
 def q_kg_triples(spark, sf_dir):
     """Full flagship pipeline at this sf (rows-only)."""
-    import sys
-
-    sys.path.insert(0, REPO)
-    _ensure_fixtures()
-    from antnre_spark import assemble, extract, link, materialize, segment
-
-    transcripts = synth_transcripts(spark, sf_dir)
-    weights_bc, vocab_bc, model_key = extract.broadcast_model(
-        spark,
-        os.path.join(FIXDIR, "weights.npz"),
-        os.path.join(FIXDIR, "vocab.json"),
-    )
-    sentences = segment.segment_turns(
-        assemble.filter_extractable(
-            assemble.explode_documents(
-                assemble.assemble_documents(assemble.dedup_turns(transcripts))
-            )
-        )
-    )
-    extracted = extract.extract_sentences(
-        sentences, weights_bc, vocab_bc, model_key=model_key,
-        repartition_to=spark.sparkContext.defaultParallelism,
-    ).localCheckpoint(eager=True)
-    mentions = extract.explode_mentions(extracted)
-    relations = extract.explode_relations(extracted)
-    surface_map, _ = link.link_entities(mentions)
-    return materialize.build_triples(relations, surface_map)
+    return run_kg_pipeline(spark, synth_transcripts(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

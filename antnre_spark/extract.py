@@ -95,6 +95,9 @@ def extract_sentences(
     construction). At petabyte scale leave None and size the upstream
     bucketing instead: reshuffling raw text is not free.
     """
+    # prune to the four consumed columns BEFORE the repartition: char
+    # offsets etc. would otherwise ride the shuffle and the Arrow hop
+    sentences = sentences.select("conv_id", "turn_idx", "sent_idx", "tokens")
     if repartition_to:
         sentences = sentences.repartition(repartition_to)
 
@@ -106,52 +109,92 @@ def extract_sentences(
             for chunk in _token_chunks(pdf, token_budget):
                 toks = [list(t) for t in chunk["tokens"]]
                 results = model.extract(toks)
-                out_m, out_r = [], []
-                for (mentions, relations), tk in zip(results, toks):
-                    out_m.append(
-                        [
-                            {
-                                "begin": m.begin,
-                                "end": m.end,
-                                "ent_type": m.ent_type,
-                                "surface": " ".join(tk[m.begin : m.end]),
-                                "conf": m.conf,
-                            }
-                            for m in mentions
-                        ]
-                    )
-                    out_r.append(
-                        [
-                            {
-                                "subj_begin": mentions[r.subj].begin,
-                                "subj_end": mentions[r.subj].end,
-                                "subj_ent_type": mentions[r.subj].ent_type,
-                                "subj_surface": " ".join(
-                                    tk[mentions[r.subj].begin : mentions[r.subj].end]
-                                ),
-                                "obj_begin": mentions[r.obj].begin,
-                                "obj_end": mentions[r.obj].end,
-                                "obj_ent_type": mentions[r.obj].ent_type,
-                                "obj_surface": " ".join(
-                                    tk[mentions[r.obj].begin : mentions[r.obj].end]
-                                ),
-                                "pred": r.pred,
-                                "conf": r.conf,
-                            }
-                            for r in relations
-                        ]
-                    )
-                yield pd.DataFrame(
-                    {
-                        "conv_id": chunk["conv_id"].values,
-                        "turn_idx": chunk["turn_idx"].values,
-                        "sent_idx": chunk["sent_idx"].values,
-                        "mentions": out_m,
-                        "relations": out_r,
-                    }
-                )
+                yield _results_frame(chunk, toks, results)
 
     return sentences.mapInPandas(run, EXTRACTED)
+
+
+def extract_conversations(
+    sentences: DataFrame,
+    weights_bc,
+    vocab_bc,
+    token_budget: int = TOKEN_BUDGET,
+    model_key: str = "default",
+) -> DataFrame:
+    """Grouped-map variant (SURVEY.md §2.L): one model batch per
+    conversation via groupBy(conv_id).applyInPandas.
+
+    Use when downstream wants extraction co-partitioned by conv_id (e.g.
+    writing conv-bucketed without a second shuffle) or when a future model
+    consumes cross-sentence conversation context. Costs a shuffle on
+    conv_id and inherits conversation-length skew (the mapInPandas path +
+    round-robin repartition is the default for pure throughput). Output is
+    identical row-for-row to extract_sentences — asserted in
+    tests/test_invariants.py."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        model = _model_for(weights_bc, vocab_bc, model_key)
+        out = []
+        for chunk in _token_chunks(pdf, token_budget):
+            toks = [list(t) for t in chunk["tokens"]]
+            results = model.extract(toks)
+            out.append(_results_frame(chunk, toks, results))
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in EXTRACTED.fields}
+            )
+        )
+
+    return sentences.groupBy("conv_id").applyInPandas(run, EXTRACTED)
+
+
+def _results_frame(chunk: pd.DataFrame, toks, results) -> pd.DataFrame:
+    out_m, out_r = [], []
+    for (mentions, relations), tk in zip(results, toks):
+        out_m.append(
+            [
+                {
+                    "begin": m.begin,
+                    "end": m.end,
+                    "ent_type": m.ent_type,
+                    "surface": " ".join(tk[m.begin : m.end]),
+                    "conf": m.conf,
+                }
+                for m in mentions
+            ]
+        )
+        out_r.append(
+            [
+                {
+                    "subj_begin": mentions[r.subj].begin,
+                    "subj_end": mentions[r.subj].end,
+                    "subj_ent_type": mentions[r.subj].ent_type,
+                    "subj_surface": " ".join(
+                        tk[mentions[r.subj].begin : mentions[r.subj].end]
+                    ),
+                    "obj_begin": mentions[r.obj].begin,
+                    "obj_end": mentions[r.obj].end,
+                    "obj_ent_type": mentions[r.obj].ent_type,
+                    "obj_surface": " ".join(
+                        tk[mentions[r.obj].begin : mentions[r.obj].end]
+                    ),
+                    "pred": r.pred,
+                    "conf": r.conf,
+                }
+                for r in relations
+            ]
+        )
+    return pd.DataFrame(
+        {
+            "conv_id": chunk["conv_id"].values,
+            "turn_idx": chunk["turn_idx"].values,
+            "sent_idx": chunk["sent_idx"].values,
+            "mentions": out_m,
+            "relations": out_r,
+        }
+    )
 
 
 def _mention_id(conv, turn, sent, begin, end):

@@ -97,7 +97,7 @@ def extract_job(
         sentences = segment.segment_turns(ext_turns)
         extracted = extract.extract_sentences(
             sentences, weights_bc, vocab_bc, cfg.token_budget, model_key,
-            repartition_to=spark.sparkContext.defaultParallelism,
+            repartition_to=10 * spark.sparkContext.defaultParallelism,
         )
         extracted = extracted.localCheckpoint(eager=True)  # one forward pass
 
@@ -138,9 +138,21 @@ def link_job(spark: SparkSession, cfg: PipelineConfig) -> dict:
     ent_t = cfg.table("entities")
     tri_t = cfg.table("triples")
     vert_t = cfg.table("vertices")
+    hub_t = cfg.table("hub_entities")
     ent_t.overwrite_partitions(entities.withColumn("part", F.lit(0)), ["part"])
-    tri_snap = tri_t.overwrite_partitions(triples, ["pred"])
+    # edge table layout per SURVEY.md §4.3.6: partition by pred, bucket by
+    # subj — point lookups prune to one (pred, bucket) slice via manifests
+    tri_snap = tri_t.overwrite_partitions(
+        triples.withColumn("bucket", bucket_of(F.col("subj"), 16)),
+        ["pred", "bucket"],
+    )
     vert_t.overwrite_partitions(vertices.withColumn("part", F.lit(0)), ["part"])
+    # H5 degree stats — the skew-planning input (BASELINE.json:6 "hub
+    # entities"): next runs read this to pick explicit salts
+    hub_t.overwrite_partitions(
+        materialize.hub_entities(triples, k=100).withColumn("part", F.lit(0)),
+        ["part"],
+    )
 
     n_triples = tri_t.total_rows()
     metrics_rows = [

@@ -58,7 +58,15 @@ def main() -> None:
     buckets = None
     resume = not args.no_resume
     if args.buckets:
-        buckets = [int(b) for b in args.buckets.split(",")]
+        try:
+            buckets = [int(b) for b in args.buckets.split(",")]
+        except ValueError:
+            ap.error(
+                f"--buckets must be comma-separated integers, got {args.buckets!r}"
+            )
+        bad = [b for b in buckets if not 0 <= b < args.n_buckets]
+        if bad:
+            ap.error(f"--buckets out of range [0, {args.n_buckets}): {bad}")
     elif args.incremental_since is not None and src_table.current_snapshot() is not None:
         delta = src_table.incremental(spark, args.incremental_since)
         if delta is not None:

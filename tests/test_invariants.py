@@ -69,6 +69,32 @@ class TestPartitionInvariance:
         assert big == small
 
 
+class TestGroupedMapVariant:
+    def test_applyinpandas_equals_mapinpandas(
+        self, spark, transcripts_df, model_bcs
+    ):
+        """extract_conversations (grouped map, conv-co-partitioned) must
+        emit exactly the rows of extract_sentences (narrow map)."""
+        w_bc, v_bc, key = model_bcs
+        sample = assemble.filter_extractable(
+            assemble.dedup_turns(transcripts_df.filter(F.col("conv_id") < "c000015"))
+        )
+        sentences = segment.segment_turns(sample)
+        a = {
+            tuple(r)
+            for r in extract.explode_mentions(
+                extract.extract_sentences(sentences, w_bc, v_bc, model_key=key)
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in extract.explode_mentions(
+                extract.extract_conversations(sentences, w_bc, v_bc, model_key=key)
+            ).collect()
+        }
+        assert a == b
+
+
 ROLES = st.sampled_from(["user", "assistant", "tool", "system"])
 WORDS = st.sampled_from(
     ["John", "Smith", "works", "for", "Acme", "Corp", ".", "hello", "?", "Gotham"]

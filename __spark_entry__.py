@@ -674,6 +674,57 @@ FROM embeddings
 """
 
 
+def q_k_math_funcs(spark, sf_dir):
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return n.select(
+        "n_nationkey",
+        F.pmod(F.col("n_nationkey"), F.lit(7)).alias("m7"),
+        F.greatest(F.col("n_nationkey"), F.col("n_regionkey") * 2).alias("g"),
+        F.least(F.col("n_nationkey"), F.col("n_regionkey") * 2).alias("l"),
+        F.round(F.log(F.col("n_nationkey") + 2), 6).alias("ln_k"),
+        F.round(F.exp(F.col("n_regionkey") / 10.0), 6).alias("exp_r"),
+    )
+
+
+SQL_K_MATH = """
+SELECT n_nationkey,
+       n_nationkey % 7 AS m7,
+       greatest(n_nationkey, n_regionkey * 2) AS g,
+       least(n_nationkey, n_regionkey * 2) AS l,
+       round(ln(n_nationkey + 2), 6) AS ln_k,
+       round(exp(n_regionkey / 10.0), 6) AS exp_r
+FROM nation
+"""
+
+
+def q_k_nested_arrays(spark, sf_dir):
+    """flatten / slice / zip_with over nested arrays (SURVEY.md §2.K)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nested = F.array(F.slice(v, 1, 2), F.slice(v, 3, 2))
+    flat = F.flatten(nested)
+    pairwise = F.zip_with(
+        F.slice(v, 1, 4), flat, lambda a, b: a * b
+    )
+    return e.select(
+        "vec_id",
+        F.size(flat).alias("n_flat"),
+        F.round(F.aggregate(pairwise, F.lit(0.0), lambda acc, x: acc + x), 6).alias(
+            "dot4"
+        ),
+    )
+
+
+SQL_K_NESTED = """
+SELECT vec_id,
+       len(flatten([e4[1:2], e4[3:4]])) AS n_flat,
+       round(list_sum(list_transform(e4, x -> x * x)), 6) AS dot4
+FROM (SELECT vec_id,
+             list_transform(embedding[1:4], x -> x::DOUBLE) AS e4
+      FROM embeddings)
+"""
+
+
 # ---- D1: sentence segmentation (pandas-UDF splitter vs regex twin) ------
 
 def q_d1_sentence_count(spark, sf_dir):
@@ -1068,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_datetime": q_k_datetime,
         "k_json": q_k_json,
         "k_array_funcs": q_k_array_funcs,
+        "k_math_funcs": q_k_math_funcs,
+        "k_nested_arrays": q_k_nested_arrays,
         "d1_sentence_count": q_d1_sentence_count,
         "t_langid": q_t_langid,
         "t_quality": q_t_quality,
@@ -1115,6 +1168,8 @@ def oracle_sql() -> dict[str, str]:
         "k_datetime": SQL_K_DATETIME,
         "k_json": SQL_K_JSON,
         "k_array_funcs": SQL_K_ARRAY,
+        "k_math_funcs": SQL_K_MATH,
+        "k_nested_arrays": SQL_K_NESTED,
         "d1_sentence_count": SQL_D1,
         "t_langid": _langid_sql(),
         "t_quality": _quality_sql(),

@@ -115,6 +115,12 @@ def run_kg_pipeline(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
     _ensure_fixtures()
     from antnre_spark import assemble, extract, link, materialize, segment
 
+    # runtime conf: the driver's session may default to 200 shuffle
+    # partitions — wasteful for the linking stages at smoke scale
+    target = max(32, 2 * spark.sparkContext.defaultParallelism)
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > target:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+
     weights_bc, vocab_bc, model_key = extract.broadcast_model(
         spark,
         os.path.join(FIXDIR, "weights.npz"),

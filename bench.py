@@ -111,7 +111,7 @@ def main() -> None:
     # compiled, python worker daemons forked, broadcasts resident) — the
     # regime a long-running 10^12-turn job actually operates in. The
     # flagship warms on the small mult=1 input (same plan shape).
-    warmup = os.environ.get("SPARK_GRAFT_WARMUP", "0") == "1"
+    warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1"
     # best-of-N repeats: the sandbox VM's effective CPU speed drifts over
     # minutes (burst credits), so single timings are noisy; min-of-N within
     # one session is the stable estimator for steady-state throughput

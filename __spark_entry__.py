@@ -246,7 +246,7 @@ def q_c3_sessionize(spark, sf_dir):
 
 
 SQL_C3 = """
-SELECT user_id, sum(new_sess) + 1 AS n_sessions FROM (
+SELECT user_id, (sum(new_sess) + 1)::BIGINT AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
               (PARTITION BY user_id ORDER BY ts, event_id) > 1800
@@ -312,7 +312,7 @@ def q_e4_run_grouping(spark, sf_dir):
 
 
 SQL_E4 = """
-SELECT user_id, sum(run_start) AS n_runs FROM (
+SELECT user_id, sum(run_start)::BIGINT AS n_runs FROM (
   SELECT user_id,
          CASE WHEN lag(event_type) OVER w IS NULL
                 OR lag(event_type) OVER w <> event_type
@@ -834,7 +834,7 @@ def q_t_fingerprint(spark, sf_dir):
 SQL_T_FINGERPRINT = """
 SELECT doc_id,
        list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
-                (x, i) -> i * ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS fingerprint
+                (x, i) -> i * ('0x' || substr(md5(x), 1, 8))::BIGINT))::BIGINT AS fingerprint
 FROM documents
 """
 
@@ -1031,15 +1031,19 @@ def q_mm_media_stats(spark, sf_dir):
 
 SQL_MM_STATS = """
 SELECT source AS kind, count(*) AS n_items,
-       sum(octet_length(encode(text))) AS total_bytes,
-       max(octet_length(encode(text))) AS max_bytes
+       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+       max(octet_length(encode(text)))::BIGINT AS max_bytes
 FROM documents GROUP BY source
 """
 
 
 def q_mm_features(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (stubbed decode
-    kernel — deterministic; schema/batching real). Rows-only check."""
+    kernel — deterministic; schema/batching real). The demo projects the
+    SQL-expressible columns (byte count + sha256 fingerprint) so the whole
+    Arrow round-trip is oracle-checked; the stub ``feature`` vector itself
+    is covered by tests/test_dataops.py (not SQL-expressible, and the
+    driver's canonicalizer cannot hash array columns)."""
     import sys
 
     sys.path.insert(0, REPO)
@@ -1058,7 +1062,17 @@ def q_mm_features(spark, sf_dir):
             F.lit(None).cast("long").alias("duration_ms"),
         )
     )
-    return extract_features(media)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_sha"
+    )
+
+
+SQL_MM_FEATURES = """
+SELECT doc_id::VARCHAR AS media_id, 'image' AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       substr(sha256(text), 1, 16) AS content_sha
+FROM documents WHERE doc_id < 100
+"""
 
 
 # ---- KG pipeline (model-driven, rows-only) ------------------------------
@@ -1091,8 +1105,12 @@ def q_kg_extract_mentions(spark, sf_dir):
 
 
 def q_kg_triples(spark, sf_dir):
-    """Full flagship pipeline at this sf (rows-only)."""
-    return run_kg_pipeline(spark, synth_transcripts(spark, sf_dir))
+    """Full flagship pipeline at this sf (rows-only: the model stage is not
+    SQL-expressible). ``provenance`` is an array<struct> in the pipeline
+    output; the demo serializes it with to_json because the driver's
+    canonicalizer cannot hash list cells — pipeline schema unchanged."""
+    triples = run_kg_pipeline(spark, synth_transcripts(spark, sf_dir))
+    return triples.withColumn("provenance", F.to_json("provenance"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1185,7 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_cosine_exact": SQL_DD_COSINE,
         "ss_topk_cosine": SQL_SS_TOPK,
         "mm_media_stats": SQL_MM_STATS,
-        # dd_minhash_candidates, dd_simhash_pairs, dd_cosine_lsh,
-        # ss_bucketed_topk, mm_features, kg_extract_mentions, kg_triples:
-        # model/UDF/LSH paths — genuinely non-SQL-expressible, rows-only.
+        "mm_features": SQL_MM_FEATURES,
+        # kg_extract_mentions, kg_triples: the numpy model stage is
+        # genuinely non-SQL-expressible — rows-only by contract.
     }

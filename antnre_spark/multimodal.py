@@ -144,6 +144,6 @@ def media_stats(media: DataFrame) -> DataFrame:
     """Per-kind corpus stats (bytes are never shuffled — only lengths)."""
     return media.groupBy("kind").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.length("payload")).alias("total_bytes"),
-        F.max(F.length("payload")).alias("max_bytes"),
+        F.sum(F.length("payload").cast("long")).alias("total_bytes"),
+        F.max(F.length("payload").cast("long")).alias("max_bytes"),
     )

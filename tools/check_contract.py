@@ -24,18 +24,29 @@ TABLES = [
 
 
 def norm_cell(v) -> str:
+    """Driver-faithful cell canonicalization: the graft driver compares
+    values after a pandas round-trip, where dtype differences are VISIBLE
+    (DuckDB HUGEINT sums come back float64 and print '56.0' while a Spark
+    long prints '56'). So: floats via repr (keeps the '.0'), ints via str —
+    deliberately STRICTER than a `%.6g` collapse, matching the driver."""
     import datetime
 
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL" if v is None else "NaN"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, float):
+        return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat().replace("+00:00", "")
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -73,12 +84,14 @@ def main() -> None:
     failures, passes, rows_only = [], [], []
 
     for name, fn in queries.items():
-        if args.only and name != args.only:
+        if args.only and name not in args.only.split(","):
             continue
         try:
             sdf = fn(spark, args.sf)
             scols = sorted(sdf.columns)
-            srows = [r.asDict(recursive=True) for r in sdf.collect()]
+            # pandas round-trip, like the driver: dtype differences visible
+            spdf = sdf.toPandas()
+            srows = spdf.to_dict("records")
         except Exception:
             failures.append((name, "SPARK ERROR:\n" + traceback.format_exc()))
             continue
@@ -86,14 +99,13 @@ def main() -> None:
             rows_only.append((name, len(srows)))
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols_raw = [d[0] for d in cur.description]
-            orows_raw = cur.fetchall()
+            opdf = con.execute(oracles[name]).fetch_df()
+            ocols_raw = list(opdf.columns)
+            orows = opdf.to_dict("records")
         except Exception:
             failures.append((name, "DUCKDB ERROR:\n" + traceback.format_exc()))
             continue
         ocols = sorted(ocols_raw)
-        orows = [dict(zip(ocols_raw, row)) for row in orows_raw]
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")

@@ -1,17 +1,26 @@
 """Explicit salting helpers (SURVEY.md §4.3.1; BASELINE.json:6 "explicit
 salting" for long conversations and hub entities).
 
+The salt MUST vary WITHIN a key — a salt derived from the group/join key
+itself is a constant per key value and spreads nothing (every row of a hot
+key still lands on one reducer). So the salt here is derived from per-ROW
+entropy: a caller-supplied row-unique column when one exists (mention_id,
+event_id, ...) for a fully deterministic plan, else
+``monotonically_increasing_id()``. Any row->salt assignment yields the
+identical final result (the salt only spreads rows; the de-salt merge is
+exact for decomposable aggregates), so the mono-id fallback's dependence on
+partition layout is harmless — asserted by the salt-invariance property
+(SURVEY.md §5.2.4) plus the spread test in tests/test_salt.py, which plants
+a hot key and requires >1 partial-agg group / >1 join task for it.
+
 Two shapes:
 - salted_agg: two-level aggregation — partial agg on (key, salt) spreads a
-  hot key over S reducers, then a final de-salt agg combines partials. The
-  result is provably identical to the unsalted aggregation for any
-  decomposable aggregate (sum/count/min/max) — tested by the
-  salt-invariance property (SURVEY.md §5.2.4).
-- salted_join: replicate the small side S times with a salt column and salt
-  the big side with pmod(xxhash64(key), S) so one hot key's rows land on S
-  tasks instead of one. AQE's skew-join splitting covers most cases
-  (enabled by default — SURVEY.md §4.1); this is the explicit fallback for
-  deterministic planning at known-hot keys.
+  hot key over S reducers, then a final de-salt agg combines partials.
+- salted_join: replicate the small side S times with a salt column and
+  per-row-salt the big side so one hot key's rows land on S tasks instead
+  of one. AQE's skew-join splitting covers most cases (enabled by default —
+  SURVEY.md §4.1); this is the explicit fallback for deterministic planning
+  at known-hot keys (e.g. hubs recorded by materialize.hub_entities).
 """
 
 from __future__ import annotations
@@ -24,9 +33,17 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
-def salt_col(key: Column, n_salts: int = DEFAULT_SALTS) -> Column:
-    """Deterministic salt in [0, n_salts): pmod(xxhash64(key), S)."""
-    return F.pmod(F.xxhash64(key), F.lit(n_salts)).cast("int")
+def salt_col(n_salts: int = DEFAULT_SALTS, row_key: Column | None = None) -> Column:
+    """Per-ROW salt in [0, n_salts).
+
+    ``row_key``: a row-unique column (deterministic salt — preferred when
+    the table has a natural id). Default: monotonically_increasing_id(),
+    unique within the job; the salt assignment is then partition-layout
+    dependent, which is correct-by-construction here because the result of
+    a salted agg/join is invariant to WHICH salt a row gets.
+    """
+    src = row_key if row_key is not None else F.monotonically_increasing_id()
+    return F.pmod(F.xxhash64(src), F.lit(n_salts)).cast("int")
 
 
 def salted_agg(
@@ -34,6 +51,7 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = DEFAULT_SALTS,
+    row_key: Column | None = None,
 ) -> DataFrame:
     """Two-level salted aggregation.
 
@@ -41,11 +59,12 @@ def salted_agg(
     {count, sum, min, max}. Example::
 
         salted_agg(events, ["event_type"], {"n": ("*", "count"),
-                                            "total": ("value", "sum")})
+                                            "total": ("value", "sum")},
+                   row_key=F.col("event_id"))
     """
     partial_fns = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
     merge_fns = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
-    salted = df.withColumn("_salt", salt_col(F.concat_ws("", *keys), n_salts))
+    salted = df.withColumn("_salt", salt_col(n_salts, row_key))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[
             partial_fns[fn](col).alias(out)
@@ -63,11 +82,12 @@ def salted_join(
     on: Sequence[str],
     how: str = "inner",
     n_salts: int = DEFAULT_SALTS,
+    row_key: Column | None = None,
 ) -> DataFrame:
-    """Skew-resistant equi join: salt the big side, replicate the small side
-    across all salts, join on (keys + salt), drop the salt."""
+    """Skew-resistant equi join: per-row-salt the big side, replicate the
+    small side across all salts, join on (keys + salt), drop the salt."""
     on = list(on)
-    big_s = big.withColumn("_salt", salt_col(F.concat_ws("", *on), n_salts))
+    big_s = big.withColumn("_salt", salt_col(n_salts, row_key))
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))
     ).alias("_salt")

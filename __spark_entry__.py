@@ -232,10 +232,10 @@ SELECT user_id, event_type, event_id FROM (
 
 
 def q_c3_sessionize(spark, sf_dir):
+    from antnre_spark.assemble import epoch_seconds
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet without tz reads as TIMESTAMP_NTZ; epoch seconds via LTZ
-    # (session tz is UTC, matching DuckDB's epoch())
-    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    secs = epoch_seconds(F.col("ts"))
     gap = F.when(secs - F.lag(secs).over(w) > 1800, 1).otherwise(0)
     return (
         _ev(spark, sf_dir)

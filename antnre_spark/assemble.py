@@ -157,6 +157,16 @@ def explode_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+def epoch_seconds(col: F.Column) -> F.Column:
+    """THE engine-wide timestamp->epoch rule (one semantics for sessionize,
+    the c3 demo, and any future gap logic): parquet timestamps read as
+    TIMESTAMP_NTZ; epoch seconds go through the LTZ detour so the value is
+    defined under the session timezone (UTC in all jobs/tests), matching
+    DuckDB's epoch(). A direct NTZ->long cast happens to agree under UTC but
+    silently diverges under any other session tz — so it is banned."""
+    return col.cast("timestamp_ltz").cast("long")
+
+
 def sessionize(
     transcripts: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:
@@ -167,13 +177,12 @@ def sessionize(
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
     gap_s = gap_minutes * 60
+    secs = epoch_seconds(F.col("ts"))
     flagged = transcripts.withColumn(
         "_new_session",
-        F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            > F.lit(gap_s),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+        F.when(secs - F.lag(secs).over(w) > F.lit(gap_s), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     running = Window.partitionBy("conv_id").orderBy("turn_idx", "ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -218,6 +218,7 @@ def connected_components(
     # count of driver actions for no information. Each round therefore
     # advances the frontier by 2 hops, then checkpoints (lineage cut) and
     # counts changes once.
+    changed = -1
     for _ in range(max_iters // 2 + 1):
         prev = labels
         labels = step(step(labels)).localCheckpoint(eager=True)
@@ -229,6 +230,20 @@ def connected_components(
         )
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > ~max_iters would otherwise be SILENTLY
+        # split into multiple entity_ids — surface it so callers can raise
+        # max_iters or switch to large-star/small-star for that corpus
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components did not converge after %d propagation "
+            "steps (%d labels still changing) — components wider than the "
+            "hop budget are split; raise max_iters or use large-star/"
+            "small-star for adversarial graphs",
+            2 * (max_iters // 2 + 1),
+            changed,
+        )
     # isolated nodes (no edges) never entered the loop: own-label rejoin
     return nodes.join(labels, ["ent_type", "norm"], "left").select(
         "ent_type",

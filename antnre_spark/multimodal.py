@@ -125,8 +125,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts_ms) —
     pure column math (sequence over duration), no decode. The decode of
     each planned frame is the stubbed kernel above."""
+    # duration must be strictly positive: sequence(0, -1, step>0) throws at
+    # runtime, so a zero-length video row would fail the whole job
     vids = media.filter(F.col("kind") == "video").filter(
-        F.col("duration_ms").isNotNull()
+        F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)
     )
     return vids.select(
         "media_id",

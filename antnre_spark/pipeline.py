@@ -39,6 +39,11 @@ class PipelineConfig:
     weights_npz: str
     vocab_json: str
     n_buckets: int = 8
+    # explicit model-stage parallelism. None (the default) = do NOT reshuffle
+    # raw sentence text — the petabyte-honest plan where parallelism comes
+    # from upstream bucketing (extract.extract_sentences docstring). Local
+    # benchmarks set 10x cores via jobs/extract.py --local-bench.
+    repartition_to: int | None = None
     token_budget: int = extract.TOKEN_BUDGET
     jaccard_tau: float = link.JACCARD_TAU
     max_turns_per_doc: int = assemble.MAX_TURNS_PER_DOC
@@ -97,7 +102,7 @@ def extract_job(
         sentences = segment.segment_turns(ext_turns)
         extracted = extract.extract_sentences(
             sentences, weights_bc, vocab_bc, cfg.token_budget, model_key,
-            repartition_to=10 * spark.sparkContext.defaultParallelism,
+            repartition_to=cfg.repartition_to,
         )
         extracted = extracted.localCheckpoint(eager=True)  # one forward pass
 
@@ -106,8 +111,13 @@ def extract_job(
         ment_snap = ment_t.overwrite_partitions(mentions, ["bucket"])
         rel_t.overwrite_partitions(relations, ["bucket"])
 
-        n_m = ment_t.load(spark, partition_filter={"bucket": [str(b)]}).count()
-        n_r = rel_t.load(spark, partition_filter={"bucket": [str(b)]}).count()
+        # a bucket can be legitimately empty (no extractable turns) —
+        # IceLite.load returns None then; the marker must still commit so
+        # resume doesn't redo the bucket forever
+        m_df = ment_t.load(spark, partition_filter={"bucket": [str(b)]})
+        r_df = rel_t.load(spark, partition_filter={"bucket": [str(b)]})
+        n_m = m_df.count() if m_df is not None else 0
+        n_r = r_df.count() if r_df is not None else 0
         markers.commit(
             stage="extract",
             partition_key=str(b),

@@ -8,9 +8,13 @@ streaming share one code path — late-arriving turns are handled either by
 watermarked session windows here or by the next snapshot diff there.
 
 Scale notes: file-source streaming scales by input-directory partitioning
-(days(ts)/bucket); foreachBatch gives exactly-once per micro-batch when the
-sink commit is idempotent — ours is (mention_id is a pure function of
-content position, and the IcebergLite append records batch provenance).
+(days(ts)/bucket). foreachBatch is at-least-once: a crash between the two
+sink writes (or before the checkpoint commit) REPLAYS the batch, so the
+sink commit must be idempotent — each micro-batch therefore commits with
+``overwrite_partitions(df, ["batch_id"])``, replacing its own batch_id
+partition on replay instead of appending duplicate rows. (mention_id being
+a pure function of content position makes the rows themselves replay-stable
+too.)
 """
 
 from __future__ import annotations
@@ -67,8 +71,10 @@ def start_extraction_stream(
     """readStream -> foreachBatch(extract stages) -> IcebergLite append.
 
     Each micro-batch runs the identical segment/extract/explode pipeline as
-    the batch job; the mention/relation tables gain a ``batch_id`` column
-    for exactly-once replay audits."""
+    the batch job; the mention/relation tables are partitioned by
+    ``batch_id`` and each batch OVERWRITES its own partition — a foreachBatch
+    replay after a mid-commit failure replaces rather than duplicates
+    (exactly-once effect from at-least-once delivery)."""
     weights_bc, vocab_bc, model_key = extract.broadcast_model(
         spark, weights_npz, vocab_json
     )
@@ -85,10 +91,10 @@ def start_extraction_stream(
             sentences, weights_bc, vocab_bc, model_key=model_key
         ).localCheckpoint(eager=True)
         bid = F.lit(batch_id).alias("batch_id")
-        ment_t.append(
+        ment_t.overwrite_partitions(
             extract.explode_mentions(extracted).select("*", bid), ["batch_id"]
         )
-        rel_t.append(
+        rel_t.overwrite_partitions(
             extract.explode_relations(extracted).select("*", bid), ["batch_id"]
         )
 

@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--buckets", default=None, help="comma-separated bucket ids")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
+        "--local-bench",
+        action="store_true",
+        help="repartition the model stage to 10x cores (local-mode "
+        "throughput knob; the default — no reshuffle of raw sentence text "
+        "— is the plan you want on a real cluster with upstream bucketing)",
+    )
+    ap.add_argument(
         "--incremental-since",
         type=int,
         default=None,
@@ -53,6 +60,9 @@ def main() -> None:
         weights_npz=args.weights,
         vocab_json=args.vocab,
         n_buckets=args.n_buckets,
+        repartition_to=(
+            10 * spark.sparkContext.defaultParallelism if args.local_bench else None
+        ),
     )
 
     buckets = None

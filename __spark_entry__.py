@@ -660,6 +660,39 @@ FROM events GROUP BY event_type
 """
 
 
+def q_k_map_funcs(spark, sf_dir):
+    """Map/JSON family closure (SURVEY.md §2.K): from_json -> map,
+    map_entries -> transform -> map_from_entries (value rewrite), map_keys,
+    element_at. The DuckDB twin reads the same facts straight from the
+    JSON (json_keys / json_extract_string)."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "m", F.from_json("props", "map<string,int>")
+    )
+    doubled = F.map_from_entries(
+        F.transform(
+            F.map_entries("m"),
+            lambda e: F.struct(
+                e["key"].alias("key"), (e["value"] * 2).alias("value")
+            ),
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.size("m").alias("n_keys"),
+        F.concat_ws(",", F.map_keys("m")).alias("keys"),
+        F.element_at(doubled, "k").alias("k2"),
+    )
+
+
+SQL_K_MAP = """
+SELECT event_id,
+       len(json_keys(props))::INT AS n_keys,
+       array_to_string(json_keys(props), ',') AS keys,
+       json_extract_string(props, '$.k')::INT * 2 AS k2
+FROM events
+"""
+
+
 def q_k_array_funcs(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -891,21 +924,105 @@ FROM shared WHERE round(shared::DOUBLE / (n_a + n_b - shared), 6) >= 0.03
 
 
 def q_dd_minhash_candidates(spark, sf_dir):
+    """MinHash/LSH candidate pairs post-verified by EXACT word-3-gram
+    Jaccard >= 0.9 (JVM-side gram strings, same shingle rule as the UDF).
+
+    Oracle = DuckDB's exact Jaccard>=0.9 pair set over the same shingles:
+    equality proves the LSH path has full recall at this threshold on this
+    corpus (per-pair miss probability (1 - 0.9^4)^32 ~ 4e-8 with 32 bands
+    x 4 rows) AND that the bucket cap drops no true pair."""
     import sys
 
     sys.path.insert(0, REPO)
-    from antnre_spark.dedup import minhash_dup_candidates
+    from antnre_spark.dedup import minhash_dup_candidates, word_ngrams
 
-    return minhash_dup_candidates(_doc(spark, sf_dir))
+    docs = _doc(spark, sf_dir)
+    cand = minhash_dup_candidates(docs)
+    grams = docs.select(
+        "doc_id", word_ngrams(_norm_text(F.col("text")), 3).alias("g")
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+SQL_DD_MINHASH = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM d),
+ex AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS gr FROM g),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS shared
+  FROM ex a JOIN ex b ON a.gr = b.gr AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+FROM shared WHERE round(shared::DOUBLE / (n_a + n_b - shared), 6) >= 0.9
+"""
 
 
 def q_dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at max_hamming=3 — the pigeonhole-GUARANTEE
+    regime (4 blocks of 16 bits: distance <= 3 forces one equal block), so
+    the Spark output is exactly the true Hamming<=3 pair set. The oracle
+    recomputes the identical md5-based signature in pure SQL and brute-
+    forces all pairs: a full value-equality check of signature + join."""
     import sys
 
     sys.path.insert(0, REPO)
     from antnre_spark.dedup import simhash_pairs
 
-    return simhash_pairs(_doc(spark, sf_dir), max_hamming=8)
+    return simhash_pairs(_doc(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup._simhash_udf + brute-force pair join: word hash
+    = first 16 hex chars of md5 (bit-identical to hashlib), one ±1 vote per
+    word OCCURRENCE per bit, signature bit i set iff vote sum > 0, wrapped
+    to signed int64 exactly like the Spark LongType value."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(64)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(string_split({_NORM_SQL}, ' '))), 1, 16))::UBIGINT AS h
+  FROM documents),
+v AS (SELECT doc_id, {bit_sums} FROM w GROUP BY doc_id),
+u AS (SELECT doc_id, ({sig_terms}) AS usig FROM v),
+sig AS (
+  SELECT doc_id,
+         (CASE WHEN usig >= 9223372036854775808::HUGEINT
+               THEN usig - 18446744073709551616::HUGEINT
+               ELSE usig END)::BIGINT AS s
+  FROM u)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
 
 
 def q_dd_cosine_exact(spark, sf_dir):
@@ -952,15 +1069,60 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def _bucket_sql(n_planes: int, dim: int) -> str:
+    """DuckDB twin of simsearch.hyperplane_bucket: the SAME plane-weight
+    literals (repr() round-trips each float exactly), the same sequential
+    dot product, the same sign-character concatenation."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.hashing import plane_weights
+
+    cases = []
+    for w in plane_weights(dim, n_planes):
+        arr = "[" + ", ".join(repr(x) for x in w) + "]"
+        cases.append(
+            f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(cases) + ")"
+
+
 def q_dd_cosine_lsh(spark, sf_dir):
+    """Hyperplane-LSH cosine near-dup pairs. FULLY oracle-checked: the
+    plane weights are engine-portable literals, so DuckDB recomputes the
+    identical buckets, applies the identical max_bucket cap, and joins —
+    value equality covers bucketing + cap + cosine."""
     import sys
 
     sys.path.insert(0, REPO)
     from antnre_spark.dedup import cosine_dup_pairs
 
-    return cosine_dup_pairs(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), tau=0.35
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
+    return cosine_dup_pairs(e, tau=0.35, dim=len(_query_vec(sf_dir)))
+
+
+def _cosine_lsh_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    dim = len(_query_vec(sf_dir))
+    bkt = _bucket_sql(8, dim)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+b AS (
+  SELECT vec_id, v, nrm, {bkt} AS bkt FROM n WHERE nrm > 0),
+c AS (
+  SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY bkt) <= 64)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) AS cosine
+FROM c a JOIN c b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+WHERE round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) >= 0.35
+"""
 
 
 # ---- similarity search --------------------------------------------------
@@ -999,6 +1161,11 @@ FROM e ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def q_ss_bucketed_topk(spark, sf_dir):
+    """ANN top-k over the bucket-partitioned index, multiprobe = query
+    bucket + all Hamming-1 neighbors. FULLY oracle-checked: DuckDB
+    recomputes the identical buckets from the same weight literals and
+    takes the exact top-k over rows whose bucket differs from the query's
+    in <= 1 position — the same candidate set, the same ranking."""
     import sys
 
     sys.path.insert(0, REPO)
@@ -1007,8 +1174,29 @@ def q_ss_bucketed_topk(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    idx = bucketed_index(e)
+    idx = bucketed_index(e, dim=len(_query_vec(sf_dir)))
     return bucketed_topk(idx, _query_vec(sf_dir), k=10)
+
+
+def _ss_bucketed_sql(sf_dir: str = "/root/testdata/sf0.01", n_planes: int = 8) -> str:
+    dim = len(_query_vec(sf_dir))
+    bkt = _bucket_sql(n_planes, dim)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+b AS (SELECT vec_id, v, nrm, {bkt} AS bkt FROM n),
+q AS (SELECT v AS qv, nrm AS qn, bkt AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv) / (nrm * qn), 6) AS cosine
+FROM b, q
+WHERE len(list_filter(range(1, {n_planes + 1}),
+          i -> substr(bkt, i, 1) <> substr(qb, i, 1))) <= 1
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
 
 
 # ---- multimodal ---------------------------------------------------------
@@ -1142,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_string_funcs": q_k_string_funcs,
         "k_datetime": q_k_datetime,
         "k_json": q_k_json,
+        "k_map_funcs": q_k_map_funcs,
         "k_array_funcs": q_k_array_funcs,
         "k_math_funcs": q_k_math_funcs,
         "k_nested_arrays": q_k_nested_arrays,
@@ -1191,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         "k_string_funcs": SQL_K_STRING,
         "k_datetime": SQL_K_DATETIME,
         "k_json": SQL_K_JSON,
+        "k_map_funcs": SQL_K_MAP,
         "k_array_funcs": SQL_K_ARRAY,
         "k_math_funcs": SQL_K_MATH,
         "k_nested_arrays": SQL_K_NESTED,
@@ -1200,8 +1390,12 @@ def oracle_sql() -> dict[str, str]:
         "t_fingerprint": SQL_T_FINGERPRINT,
         "dd_exact": SQL_DD_EXACT,
         "dd_ngram_jaccard": SQL_DD_NGRAM,
+        "dd_minhash_candidates": SQL_DD_MINHASH,
+        "dd_simhash_pairs": _simhash_sql(3),
         "dd_cosine_exact": SQL_DD_COSINE,
+        "dd_cosine_lsh": _cosine_lsh_sql(),
         "ss_topk_cosine": SQL_SS_TOPK,
+        "ss_bucketed_topk": _ss_bucketed_sql(),
         "mm_media_stats": SQL_MM_STATS,
         "mm_features": SQL_MM_FEATURES,
         # kg_extract_mentions, kg_triples: the numpy model stage is

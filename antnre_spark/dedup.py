@@ -18,7 +18,7 @@ Scale shapes:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType
 
@@ -114,32 +114,56 @@ def ngram_jaccard_pairs(
 # ---- MinHash + LSH (the scale path) -------------------------------------
 
 
+def word_ngrams(norm_text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle STRINGS of a normalized text — the JVM
+    twin of the gram set inside _doc_band_udf (same split-on-single-space,
+    same whole-text fallback for short docs), used to verify LSH candidates
+    with exact Jaccard in pure SQL-expressible form."""
+    toks = F.split(norm_text, " ")
+    count = F.size(toks) - F.lit(n - 1)
+    gram = F.transform(
+        F.sequence(F.lit(0), count - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, gram).otherwise(F.array(norm_text))
+    )
+
+
 _BANDS_T = ArrayType(StringType(), False)
 
 
 @F.pandas_udf(_BANDS_T)
 def _doc_band_udf(norm_texts: pd.Series) -> pd.Series:
     """MinHash band keys over word 3-gram shingles of the normalized text
-    (hashing module shared with linking -> deterministic everywhere)."""
+    (hashing module shared with linking -> deterministic everywhere).
+
+    Vectorized across the Arrow batch: gram crc32 codes are computed once
+    per distinct gram (batch-level cache) and signatures come from ONE
+    bulk [K, total_grams] matrix op (hashing.minhash_signatures_bulk)
+    instead of a per-doc Python loop."""
+    import zlib
+
     import numpy as np
 
-    out = []
+    code_cache: dict[str, int] = {}
+    code_arrays: list[np.ndarray] = []
     for t in norm_texts:
         words = t.split(" ")
         if len(words) < 3:
             grams = {t}
         else:
             grams = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
-        codes = np.array(
-            sorted(
-                __import__("zlib").crc32(g.encode("utf-8")) & 0x7FFFFFFF
-                for g in grams
-            ),
-            dtype=np.int64,
-        )
-        sig = hashing.minhash_signature(codes)
-        out.append(hashing.band_keys(sig))
-    return pd.Series(out)
+        codes = set()
+        for g in grams:
+            c = code_cache.get(g)
+            if c is None:
+                c = zlib.crc32(g.encode("utf-8")) & 0x7FFFFFFF
+                code_cache[g] = c
+            codes.add(c)
+        code_arrays.append(np.fromiter(codes, dtype=np.int64, count=len(codes)))
+    sigs = hashing.minhash_signatures_bulk(code_arrays)
+    return pd.Series([hashing.band_keys(sig) for sig in sigs])
 
 
 def minhash_dup_candidates(
@@ -171,26 +195,40 @@ def minhash_dup_candidates(
 
 @F.pandas_udf(LongType())
 def _simhash_udf(norm_texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word unigrams (crc32-seeded bit votes)."""
-    import zlib
+    """64-bit SimHash over word unigrams.
+
+    Word hash = first 16 hex chars of md5 (md5 is bit-identical in Spark,
+    DuckDB, and hashlib — so the ORACLE can recompute the exact signature
+    in SQL, __spark_entry__._simhash_sql). Vectorized: md5 once per
+    distinct word in the batch, bit matrix via np.unpackbits, per-doc votes
+    via one fancy-index + sum instead of a 64-iteration inner loop per word.
+    Each word OCCURRENCE votes (not distinct words), matching the SQL twin.
+    """
+    import hashlib
 
     import numpy as np
 
-    out = []
-    for t in norm_texts:
-        votes = np.zeros(64, dtype=np.int64)
-        for w in t.split(" "):
-            h = zlib.crc32(w.encode("utf-8"))
-            h2 = zlib.crc32((w + "#").encode("utf-8"))
-            bits = (int(h) << 32) | int(h2)
-            for i in range(64):
-                votes[i] += 1 if (bits >> i) & 1 else -1
-        sig = 0
-        for i in range(64):
-            if votes[i] > 0:
-                sig |= 1 << i
+    docs = [t.split(" ") for t in norm_texts]
+    vocab: dict[str, int] = {}
+    for d in docs:
+        for w in d:
+            if w not in vocab:
+                vocab[w] = len(vocab)
+    # [V, 64] ±1 vote rows, MSB-first so packbits below is the inverse
+    votes_map = np.empty((max(len(vocab), 1), 64), dtype=np.int32)
+    for w, k in vocab.items():
+        h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+        )
+        votes_map[k] = bits.astype(np.int32) * 2 - 1
+    out = np.empty(len(docs), dtype=np.int64)
+    for j, d in enumerate(docs):
+        votes = votes_map[[vocab[w] for w in d]].sum(axis=0)
+        sig_bits = (votes > 0).astype(np.uint8)
+        val = int.from_bytes(np.packbits(sig_bits).tobytes(), "big")
         # keep in signed-long range for Spark LongType
-        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        out[j] = val - (1 << 64) if val >= (1 << 63) else val
     return pd.Series(out, dtype="int64")
 
 
@@ -229,7 +267,7 @@ def simhash_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
-    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return (
         cand.withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_hamming)
@@ -246,40 +284,46 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     tau: float = 0.95,
     n_planes: int = 8,
+    max_bucket: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: random-hyperplane LSH bucket (seeded,
-    deterministic) then exact cosine within bucket. Bucket key = sign
-    pattern over n_planes pseudo-random directions derived from dimension
-    index hashing — computed JVM-side (no UDF)."""
+    deterministic — hashing.plane_weights literals, no UDF) then exact
+    cosine within bucket.
+
+    Scale discipline (same as minhash_dup_candidates): buckets larger than
+    ``max_bucket`` are DROPPED deterministically before the self-join, so
+    the within-bucket pair count is bounded by n/max_bucket * C(max_bucket,
+    2) — linear in n — instead of O(n^2 / 2^n_planes). Sizing for a real
+    corpus: expected bucket size is n / 2^n_planes, so pick
+    n_planes >= log2(n / max_bucket) + margin; at 10^9 docs and
+    max_bucket=64 that is >= 24 planes (+2-3 margin for skewed buckets —
+    near-dup clusters concentrate). More planes cost recall per plane
+    (P(same bucket) = (1 - theta/pi)^n_planes); recover recall with B
+    independent plane sets (band the planes like MinHash) rather than
+    fewer planes.
+    """
+    from antnre_spark.simsearch import hyperplane_bucket
+
+    planes = hashing.plane_weights(dim or _infer_vec_dim(df, vec_col), n_planes)
     v = F.col(vec_col)
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    # plane p weight for dim i: deterministic pseudo-random in [-1, 1)
-    def plane_dot(p: int) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda i: (
-                        F.pmod(F.xxhash64(i * F.lit(1009) + F.lit(p * 7919)), F.lit(2000))
-                        - F.lit(1000)
-                    )
-                    / F.lit(1000.0),
-                ),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
-    bucket = F.concat_ws(
-        "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
-    )
     base = df.select(
-        F.col(id_col).alias("id"), v.alias("vec"), norm.alias("nrm"), bucket.alias("bkt")
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+        norm.alias("nrm"),
+        hyperplane_bucket(v, planes).alias("bkt"),
     ).filter(F.col("nrm") > 0)
-    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"), "bkt")
-    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"), "bkt")
+    # bucket-size cap via window count: the (bkt) shuffle it introduces is
+    # REUSED by the self-join below (same partitioning key)
+    wb = Window.partitionBy("bkt")
+    bounded = (
+        base.withColumn("_bsz", F.count("*").over(wb))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    a = bounded.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"), "bkt")
+    b = bounded.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"), "bkt")
     dot = F.aggregate(
         F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -290,3 +334,9 @@ def cosine_dup_pairs(
         .filter(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _infer_vec_dim(df: DataFrame, vec_col: str) -> int:
+    from antnre_spark.simsearch import _infer_dim
+
+    return _infer_dim(df, vec_col)

@@ -55,6 +55,41 @@ def minhash_signature(codes: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def minhash_signatures_bulk(
+    code_arrays: list[np.ndarray], gram_budget: int = 200_000
+) -> np.ndarray:
+    """Vectorized MinHash for a whole Arrow batch of docs at once.
+
+    Semantically identical to ``minhash_signature`` per doc (same _A/_B
+    permutations — asserted in tests/test_link.py), but one [K, total_grams]
+    matrix op + ``np.minimum.reduceat`` over doc boundaries replaces the
+    per-doc Python loop. ``gram_budget`` chunks the batch so the temp
+    matrix stays ~K*budget*8 bytes (~200 MB) regardless of batch size.
+
+    Every code array must be non-empty (gram_codes/dedup guarantee a
+    fallback gram for empty text).
+    """
+    n = len(code_arrays)
+    out = np.empty((n, MINHASH_K), dtype=np.int64)
+    lens = np.fromiter((len(a) for a in code_arrays), dtype=np.int64, count=n)
+    assert (lens > 0).all(), "minhash over an empty gram set is undefined"
+    i = 0
+    while i < n:
+        j, total = i, 0
+        while j < n and (total + lens[j] <= gram_budget or j == i):
+            total += int(lens[j])
+            j += 1
+        concat = (
+            np.concatenate(code_arrays[i:j]) if j - i > 1 else code_arrays[i]
+        )
+        starts = np.zeros(j - i, dtype=np.int64)
+        np.cumsum(lens[i : j - 1], out=starts[1:])
+        vals = (_A[:, None] * concat[None, :] + _B[:, None]) % PRIME
+        out[i:j] = np.minimum.reduceat(vals, starts, axis=1).T
+        i = j
+    return out
+
+
 def band_keys(sig: np.ndarray, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> list[str]:
     """LSH band keys: 'band_idx:h' where h = crc32 over the band's row
     values — a surface pair collides iff some band agrees on all rows."""
@@ -64,6 +99,21 @@ def band_keys(sig: np.ndarray, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> 
         h = zlib.crc32(chunk.tobytes()) & 0xFFFFFFFF
         out.append(f"{b}:{h}")
     return out
+
+
+def plane_weights(dim: int, n_planes: int = 8, seed: int = SEED) -> list[list[float]]:
+    """Random-hyperplane weights for cosine LSH, as plain Python floats.
+
+    Seeded Gaussian directions (the textbook SimHash-for-cosine choice —
+    uniform over the sphere) rounded to 6 decimals so the SAME numeric
+    literals can be embedded in a Spark expression (F.lit) and a DuckDB SQL
+    string (repr round-trips exactly): both engines then compute
+    bit-identical bucket keys. Used by dedup.cosine_dup_pairs and
+    simsearch.bucketed_index + their oracle twins in __spark_entry__.py.
+    """
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((n_planes, dim))
+    return [[round(float(x), 6) for x in row] for row in w]
 
 
 def jaccard(codes_a: np.ndarray, codes_b: np.ndarray) -> float:

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from antnre_spark.hashing import plane_weights
+
 
 def _dot_with_lit(vec: Column, query: list[float]) -> Column:
     qlit = F.array(*[F.lit(float(x)) for x in query])
@@ -49,48 +51,49 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(
-    vec: Column, n_planes: int = 8
-) -> Column:
-    """Deterministic random-hyperplane sign bucket (no UDF; weights derived
-    from xxhash64 of (dim, plane) — identical across runs and engines that
-    share the formula)."""
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Deterministic random-hyperplane sign bucket (no UDF): one character
+    per plane, '1' iff vec . w_p >= 0. ``planes`` comes from
+    hashing.plane_weights — plain float literals, so the identical bucket
+    expression is writable in any engine (the DuckDB oracle embeds the same
+    repr() literals). vec length must equal the plane dimension."""
 
-    def plane_dot(p: int) -> Column:
+    def plane_dot(w: list[float]) -> Column:
+        wlit = F.array(*[F.lit(float(x)) for x in w])
         return F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda i: (
-                        F.pmod(
-                            F.xxhash64(i * F.lit(1009) + F.lit(p * 7919)),
-                            F.lit(2000),
-                        )
-                        - F.lit(1000)
-                    )
-                    / F.lit(1000.0),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(vec, wlit, lambda x, wv: x * wv),
             F.lit(0.0),
             lambda a, x: a + x,
         )
 
     return F.concat_ws(
         "",
-        *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)],
+        *[F.when(plane_dot(w) >= 0, "1").otherwise("0") for w in planes],
     )
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """One tiny job to read the vector width when the caller doesn't know
+    it. Prefer passing ``dim`` explicitly in production plans."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError(f"cannot infer dim of empty DataFrame ({vec_col})")
+    return int(row["d"])
+
+
 def bucketed_index(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 8
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Materializable ANN index: (bucket, id, vec, norm). Write this
     partitioned by bucket; queries prune to one partition."""
+    planes = plane_weights(dim or _infer_dim(df, vec_col), n_planes)
     v = F.col(vec_col)
     return df.select(
-        hyperplane_bucket(v, n_planes).alias("bucket"),
+        hyperplane_bucket(v, planes).alias("bucket"),
         F.col(id_col),
         v.alias(vec_col),
         _norm(v).alias("norm"),
@@ -110,12 +113,13 @@ def bucketed_topk(
     buckets when multiprobe) and rank by exact cosine."""
     import math
 
+    planes = plane_weights(len(query), n_planes)
     # the query's bucket comes from evaluating the SAME column expression
     # on a 1-row DataFrame — guarantees formula identity with the index
     spark = index.sparkSession
     qdf = spark.createDataFrame([(query,)], f"{vec_col}: array<double>")
     qbucket = qdf.select(
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("b")
+        hyperplane_bucket(F.col(vec_col), planes).alias("b")
     ).first()["b"]
     probes = {qbucket}
     if multiprobe:

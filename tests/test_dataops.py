@@ -110,6 +110,19 @@ class TestCosineDedup:
         assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
         assert (0, 2) not in pairs and (0, 3) not in pairs
 
+    def test_bucket_cap_bounds_degenerate_bucket(self, spark):
+        """A bucket larger than max_bucket is dropped deterministically —
+        the all-pairs blowup (C(200,2) pairs here) can never happen — while
+        a planted near-dup pair in a small bucket still comes through."""
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(200)]
+        rows += [(500, [0.0, 0.0, 1.0, 0.0]), (501, [0.0, 0.005, 0.9995, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.cosine_dup_pairs(df, tau=0.95, max_bucket=16).collect()
+        }
+        assert got == {(500, 501)}  # degenerate bucket dropped, dup kept
+
 
 class TestSimSearch:
     def test_bruteforce_topk_order(self, vecs):

@@ -122,3 +122,24 @@ class TestFixtureLinkQuality:
         )
         canon = {r["canonical"] for r in ents.collect()}
         assert hub["surface"] in canon
+
+
+class TestBulkMinhash:
+    def test_bulk_signatures_match_single(self):
+        """minhash_signatures_bulk (vectorized reduceat path, incl. chunk
+        boundaries via a tiny gram_budget) must be bit-identical to the
+        per-doc minhash_signature the oracle shares."""
+        import numpy as np
+
+        from antnre_spark import hashing
+
+        rng = np.random.default_rng(7)
+        arrays = [
+            np.sort(
+                rng.integers(0, 2**31, size=int(rng.integers(1, 50)))
+            ).astype(np.int64)
+            for _ in range(100)
+        ]
+        bulk = hashing.minhash_signatures_bulk(arrays, gram_budget=137)
+        for a, b in zip(arrays, bulk):
+            assert (hashing.minhash_signature(a) == b).all()

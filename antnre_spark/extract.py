@@ -83,6 +83,7 @@ def extract_sentences(
     token_budget: int = TOKEN_BUDGET,
     model_key: str = "default",
     repartition_to: int | None = None,
+    refine_types: bool = False,
 ) -> DataFrame:
     """sentences(conv_id, turn_idx, sent_idx, tokens, ...) -> EXTRACTED.
 
@@ -94,6 +95,9 @@ def extract_sentences(
     conversation's sentences spread over all workers — skew cap by
     construction). At petabyte scale leave None and size the upstream
     bucketing instead: reshuffling raw text is not free.
+
+    ``refine_types``: run the F4 GCN joint type-refinement pass inside the
+    same forward call (nnmodel.refine_mention_types) — zero extra shuffles.
     """
     # prune to the four consumed columns BEFORE the repartition: char
     # offsets etc. would otherwise ride the shuffle and the Arrow hop
@@ -108,7 +112,7 @@ def extract_sentences(
                 continue
             for chunk in _token_chunks(pdf, token_budget):
                 toks = [list(t) for t in chunk["tokens"]]
-                results = model.extract(toks)
+                results = model.extract(toks, refine_types=refine_types)
                 yield _results_frame(chunk, toks, results)
 
     return sentences.mapInPandas(run, EXTRACTED)
@@ -120,6 +124,7 @@ def extract_conversations(
     vocab_bc,
     token_budget: int = TOKEN_BUDGET,
     model_key: str = "default",
+    refine_types: bool = False,
 ) -> DataFrame:
     """Grouped-map variant (SURVEY.md §2.L): one model batch per
     conversation via groupBy(conv_id).applyInPandas.
@@ -137,7 +142,7 @@ def extract_conversations(
         out = []
         for chunk in _token_chunks(pdf, token_budget):
             toks = [list(t) for t in chunk["tokens"]]
-            results = model.extract(toks)
+            results = model.extract(toks, refine_types=refine_types)
             out.append(_results_frame(chunk, toks, results))
         return (
             pd.concat(out, ignore_index=True)

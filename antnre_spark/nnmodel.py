@@ -57,6 +57,7 @@ for _rel, _pairs in _VALID_PAIRS.items():
         REL_VALIDITY[ENT_TYPES.index(_s), ENT_TYPES.index(_o), REL_TYPES.index(_rel)] = 0.0
 
 MAX_MENTIONS_PER_SENT = 12  # candidate-pair cap (SURVEY.md §4.2)
+GCN_KEEP_MARGIN = 2.0  # F4: decoded type keeps this head start vs the GCN
 MAX_PAIR_DISTANCE = 25  # token-distance cap for candidate pairs
 MAX_TOKEN_LEN = 20  # char-CNN truncation
 N_CHAR_BUCKETS = 96
@@ -333,17 +334,78 @@ class AntNREModel:
                     out.append(Relation(i, j, REL_TYPES[k], conf))
         return out
 
+    # ---- F4: GCN joint type refinement -----------------------------------
+
+    def refine_mention_types(
+        self,
+        hidden: np.ndarray,
+        mentions: list[Mention],
+        relations: list[Relation],
+    ) -> tuple[list[Mention], list[Relation]]:
+        """F4: one GCN message-passing round over the per-sentence mention
+        graph — nodes = mentions (span-mean hidden states), edges =
+        predicted relations (symmetric) + self-loops, degree-normalized —
+        jointly refining entity types (SURVEY.md §2.F, the ACL'19-style
+        joint variant; `[pub: joint_model.py]` unverified).
+
+        Per-sentence graphs have <= MAX_MENTIONS_PER_SENT nodes, so this is
+        plain in-UDF numpy: no distributed graph machinery, zero extra
+        shuffles — the refinement rides inside the same mapInPandas batch.
+
+        The decoded type gets GCN_KEEP_MARGIN as a head start; the GCN can
+        flip a type only on strong graph evidence (with the untrained
+        fixture weights it essentially never does — arbitrary-but-fixed,
+        which is what the parity criterion needs). Relations whose
+        (refined subj, refined obj) type pair is no longer admissible are
+        dropped — the 'joint' coupling between the two tasks.
+        """
+        if not mentions or "gcn_W" not in self.w:
+            return mentions, relations
+        n = len(mentions)
+        X = np.stack(
+            [hidden[m.begin : m.end].mean(axis=0) for m in mentions]
+        )  # [n, 2h]
+        A = np.eye(n, dtype=np.float32)
+        for r in relations:
+            A[r.subj, r.obj] = 1.0
+            A[r.obj, r.subj] = 1.0
+        A = A / A.sum(axis=1, keepdims=True)
+        H = np.maximum(A @ X @ self.w["gcn_W"], 0.0)
+        logits = H @ self.w["gcn_type_W"] + self.w["gcn_type_b"]  # [n, types]
+        refined: list[Mention] = []
+        for i, m in enumerate(mentions):
+            li = logits[i].copy()
+            li[ENT_TYPES.index(m.ent_type)] += GCN_KEEP_MARGIN
+            t = ENT_TYPES[int(li.argmax())]
+            refined.append(
+                m if t == m.ent_type else Mention(m.begin, m.end, t, m.conf)
+            )
+        kept = [
+            r
+            for r in relations
+            if REL_VALIDITY[
+                ENT_TYPES.index(refined[r.subj].ent_type),
+                ENT_TYPES.index(refined[r.obj].ent_type),
+                REL_TYPES.index(r.pred),
+            ]
+            >= 0.0
+        ]
+        return refined, kept
+
     # ---- fused entry ----------------------------------------------------
 
     def extract(
-        self, tokens_batch: list[list[str]]
+        self, tokens_batch: list[list[str]], refine_types: bool = False
     ) -> list[tuple[list[Mention], list[Relation]]]:
         """One forward pass per sentence -> (mentions, relations). This is
-        the unit the Spark mapInPandas stage and the oracle both call."""
+        the unit the Spark mapInPandas stage and the oracle both call.
+        ``refine_types`` switches on the F4 GCN joint refinement pass."""
         encoded = self.encode(tokens_batch)
         results = []
         for toks, (hidden, emissions) in zip(tokens_batch, encoded):
             mentions = self.extract_mentions(hidden, emissions)
             rels = self.classify_relations(hidden, self._token_ids(toks), mentions)
+            if refine_types:
+                mentions, rels = self.refine_mention_types(hidden, mentions, rels)
             results.append((mentions, rels))
         return results

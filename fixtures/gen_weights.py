@@ -151,6 +151,17 @@ def build_weights(gazetteer: list[dict], vocab: dict[str, int], seed: int = SEED
         if tid is not None:
             trig[tid, REL_TYPES.index(rel)] += 6.0
     w["rel_trig"] = trig
+
+    # F4: GCN joint type-refinement weights (SURVEY.md §2.F, ACL'19-style
+    # joint variant). Drawn from a SEPARATE seeded stream so every
+    # pre-existing array above stays byte-identical to the pre-F4 fixture
+    # (golden outputs with refinement off are unchanged). Small scale:
+    # random message passing must stay below nnmodel.GCN_KEEP_MARGIN so the
+    # untrained GCN nudges rather than scrambles the decoded types.
+    rng2 = np.random.default_rng(seed + 1)
+    w["gcn_W"] = glorot(rng2, 2 * HIDDEN, 2 * HIDDEN) * 0.1
+    w["gcn_type_W"] = glorot(rng2, 2 * HIDDEN, len(ENT_TYPES)) * 0.1
+    w["gcn_type_b"] = np.zeros(len(ENT_TYPES), dtype=np.float32)
     return w
 
 

@@ -115,3 +115,87 @@ class TestExtractionSemantics:
         for r in relations:
             if r.subj in peop_idx and r.obj in peop_idx:
                 assert r.pred == "Kill"
+
+
+class TestGCNRefinement:
+    """F4: GCN joint type refinement (SURVEY.md §2.F)."""
+
+    def test_flag_off_is_identity(self, model):
+        toks = ["John Smith works for Acme Corp .".split()]
+        assert model.extract(toks) == model.extract(toks, refine_types=False)
+
+    def test_fixture_weights_keep_decoded_types(self, model):
+        """Untrained fixture GCN (scale << GCN_KEEP_MARGIN) must not
+        scramble the decoded output on the known sentence."""
+        [(mentions, relations)] = model.extract(
+            ["John Smith works for Acme Corp .".split()], refine_types=True
+        )
+        assert [(m.begin, m.end, m.ent_type) for m in mentions] == [
+            (0, 2, "Peop"),
+            (4, 6, "Org"),
+        ]
+        assert [(r.subj, r.obj, r.pred) for r in relations] == [
+            (0, 1, "Work_For")
+        ]
+
+    def test_strong_graph_evidence_flips_type_and_drops_relation(
+        self, fixture_paths
+    ):
+        """Mechanism check with crafted GCN weights: a type head that
+        strongly favors 'Loc' overrides the keep-margin, and the Work_For
+        relation (Peop->Org) becomes type-invalid and is dropped."""
+        import json
+
+        from antnre_spark.nnmodel import ENT_TYPES
+
+        with np.load(fixture_paths["weights"]) as z:
+            w = {k: z[k] for k in z.files}
+        with open(fixture_paths["vocab"]) as f:
+            vocab = json.load(f)
+        w["gcn_type_b"] = np.full(len(ENT_TYPES), -100.0, dtype=np.float32)
+        w["gcn_type_b"][ENT_TYPES.index("Loc")] = 100.0
+        forced = AntNREModel(w, vocab)
+        toks = ["John Smith works for Acme Corp .".split()]
+        [(base_m, base_r)] = forced.extract(toks)
+        assert [m.ent_type for m in base_m] == ["Peop", "Org"] and base_r
+        [(ref_m, ref_r)] = forced.extract(toks, refine_types=True)
+        assert [m.ent_type for m in ref_m] == ["Loc", "Loc"]
+        assert ref_r == []  # Work_For invalid for (Loc, Loc) -> dropped
+
+    def test_spark_stage_parity_with_refinement(self, spark, fixture_paths):
+        """extract_sentences(refine_types=True) row-identical to the direct
+        model call with refinement — the distributed pass adds nothing."""
+        from antnre_spark import extract
+
+        sents = [
+            ("c0", 0, 0, "John Smith works for Acme Corp .".split()),
+            ("c0", 1, 0, "Mary Johnson lives in Springfield .".split()),
+            ("c1", 0, 0, "please review the attached report .".split()),
+        ]
+        df = spark.createDataFrame(
+            sents, "conv_id: string, turn_idx: int, sent_idx: int, tokens: array<string>"
+        )
+        w_bc, v_bc, key = extract.broadcast_model(
+            spark, fixture_paths["weights"], fixture_paths["vocab"]
+        )
+        got = {
+            (r["conv_id"], r["turn_idx"]): (
+                [(m["begin"], m["end"], m["ent_type"]) for m in r["mentions"]],
+                [(x["pred"],) for x in r["relations"]],
+            )
+            for r in extract.extract_sentences(
+                df, w_bc, v_bc, model_key=key + ":gcn", refine_types=True
+            ).collect()
+        }
+        model = AntNREModel.from_files(
+            fixture_paths["weights"], fixture_paths["vocab"]
+        )
+        direct = model.extract([s[3] for s in sents], refine_types=True)
+        want = {
+            (s[0], s[1]): (
+                [(m.begin, m.end, m.ent_type) for m in ms],
+                [(r.pred,) for r in rs],
+            )
+            for s, (ms, rs) in zip(sents, direct)
+        }
+        assert got == want

@@ -126,13 +126,19 @@ def run_kg_pipeline(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
         os.path.join(FIXDIR, "weights.npz"),
         os.path.join(FIXDIR, "vocab.json"),
     )
-    docs = assemble.assemble_documents_fused(transcripts)
+    # ONE shuffle end-to-end through extraction: the assembly groupBy reuses
+    # this explicit conv_id hash partitioning, sized for the compute stage
+    # (assemble.partition_for_extraction) — no second shuffle of raw text
+    docs = assemble.assemble_documents_fused(
+        assemble.partition_for_extraction(
+            transcripts, 10 * spark.sparkContext.defaultParallelism
+        )
+    )
     sentences = segment.segment_turns(
         assemble.filter_extractable(assemble.explode_documents(docs))
     )
     extracted = extract.extract_sentences(
         sentences, weights_bc, vocab_bc, model_key=model_key,
-        repartition_to=10 * spark.sparkContext.defaultParallelism,
     ).localCheckpoint(eager=True)
     mentions = extract.explode_mentions(extracted)
     relations = extract.explode_relations(extracted)

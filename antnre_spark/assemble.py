@@ -49,6 +49,26 @@ def dedup_turns(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def partition_for_extraction(
+    transcripts: DataFrame, n_partitions: int
+) -> DataFrame:
+    """Size the ONE assembly shuffle for the downstream compute stage.
+
+    repartition(n, conv_id) ahead of the fused groupBy: Catalyst recognizes
+    the hash partitioning and elides the groupBy's own exchange (verified —
+    the whole assemble->segment->extract chain runs with a SINGLE Exchange),
+    so the model stage inherits n-way parallelism WITHOUT a second shuffle
+    of raw sentence text. Compute parallelism should track cores (~10x
+    total cores), not shuffle-size heuristics — AQE would coalesce a small
+    assembly shuffle and starve the compute-bound pandas-UDF stage.
+
+    Rows are conv-hash balanced; a single conversation larger than one
+    partition's fair share is the one case this cannot split — there, pass
+    repartition_to to extract_sentences (round-robin) instead.
+    """
+    return transcripts.repartition(n_partitions, "conv_id")
+
+
 def assemble_documents_fused(
     transcripts: DataFrame, max_turns_per_doc: int = MAX_TURNS_PER_DOC
 ) -> DataFrame:

@@ -40,6 +40,14 @@ from antnre_spark import hashing
 JACCARD_TAU = hashing.TAU_LO
 MAX_BUCKET = 64  # band-bucket size cap (dropped if exceeded; oracle matches)
 CC_MAX_ITERS = 25
+# edge sets at or below this size resolve with a driver-local union-find
+# instead of the distributed label-propagation loop: the alias graph lives
+# on DISTINCT (ent_type, norm) surfaces, which are orders of magnitude
+# smaller than mentions even at 10^12 turns, so the common case is a tiny
+# graph where ~25 driver-scheduled Spark jobs (checkpoints + convergence
+# counts) cost far more than collecting the edges once. Above the
+# threshold the distributed loop takes over unchanged.
+LOCAL_CC_MAX_EDGES = 100_000
 
 
 def normalize_surface(col: F.Column) -> F.Column:
@@ -160,8 +168,50 @@ def candidate_pairs(
     )
 
 
+def _local_union_find(
+    edge_rows: list, spark, nodes: DataFrame
+) -> DataFrame:
+    """Driver-local exact connected components (min-label roots, path
+    compression). Bit-identical labels to the distributed loop at any
+    diameter: component = min norm. Used below LOCAL_CC_MAX_EDGES."""
+    parent: dict[tuple[str, str], tuple[str, str]] = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for et, a, b in edge_rows:
+        ka, kb = (et, a), (et, b)
+        parent.setdefault(ka, ka)
+        parent.setdefault(kb, kb)
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            # attach the larger root under the smaller -> root IS min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(k[0], k[1], find(k)[1]) for k in parent]
+    if not rows:
+        return nodes.select("ent_type", "norm", F.col("norm").alias("component"))
+    labels = spark.createDataFrame(
+        rows, "ent_type string, norm string, component string"
+    )
+    return nodes.join(labels, ["ent_type", "norm"], "left").select(
+        "ent_type",
+        "norm",
+        F.coalesce("component", F.col("norm")).alias("component"),
+    )
+
+
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iters: int = CC_MAX_ITERS
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = CC_MAX_ITERS,
+    local_threshold: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """G6: min-label propagation until fixpoint.
 
@@ -169,7 +219,12 @@ def connected_components(
     Returns (ent_type, norm, component) where component = min norm in the
     connected component (a total, deterministic label).
 
-    Driver-side loop (SURVEY.md §3.3): each iteration is one
+    Hybrid strategy: the edge set is counted once; at or below
+    ``local_threshold`` edges the components resolve with an exact
+    driver-local union-find (one collect — the alias graph over DISTINCT
+    surfaces is tiny relative to the corpus, and the distributed loop's
+    ~25 driver-scheduled jobs are pure fixed cost). Above it, the
+    distributed loop (SURVEY.md §3.3): each iteration is one
     shuffle-bounded join+agg; localCheckpoint truncates the lineage so
     iteration i does not replay iterations 0..i-1; convergence is counted
     with a single count() action on changed labels. Alias clusters have
@@ -180,6 +235,17 @@ def connected_components(
         edges.select("ent_type", F.col("norm_b").alias("src"), F.col("norm_a").alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
+
+    if local_threshold > 0:
+        # sym is checkpointed, so this count does not recompute the LSH
+        # stage; /2 because sym holds both directions
+        n_edges = sym.count() // 2
+        if n_edges <= local_threshold:
+            edge_rows = [
+                (r["ent_type"], r["src"], r["dst"])
+                for r in sym.filter(F.col("src") < F.col("dst")).collect()
+            ]
+            return _local_union_find(edge_rows, edges.sparkSession, nodes)
 
     # iterate ONLY over nodes that touch an edge — isolated nodes (the vast
     # majority) keep their own label and rejoin after the loop. Shrinks the

@@ -18,7 +18,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_MAX_RECORDS_PER_BATCH = 512
+# 512 is sized for the WORST row shape (multimodal binary payloads); the
+# sentence-shaped extraction stage tolerates much larger batches — override
+# per run with $SPARK_GRAFT_ARROW_BATCH when the job has no blob columns.
+ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"))
 
 
 def get_spark(
@@ -56,12 +59,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # NOTE: leave coalescePartitions.parallelismFirst at its default
-        # (true). Setting it false coalesces small shuffles aggressively,
-        # which starves the downstream compute-bound pandas-UDF stage of
-        # parallelism (measured: 3x slowdown of the model stage). Compute
-        # stages instead request their parallelism explicitly
-        # (extract.extract_sentences repartition_to).
+        # coalesce small shuffles aggressively (size-based, not
+        # parallelism-first): compute-bound stages own their parallelism
+        # via EXPLICIT repartition (assemble.partition_for_extraction /
+        # extract repartition_to), which AQE never coalesces, so letting
+        # AQE shrink the many tiny linking/agg shuffles no longer starves
+        # the model stage (the round-1 3x-slowdown trap) — it only removes
+        # empty-task scheduling overhead.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

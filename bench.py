@@ -75,17 +75,57 @@ def main() -> None:
             os.path.join(REPO, "fixtures", "data", "weights.npz"),
             os.path.join(REPO, "fixtures", "data", "vocab.json"),
         )
-        raw = spark_.read.parquet(path)
+        raw = assemble.partition_for_extraction(
+            spark_.read.parquet(path),
+            10 * spark_.sparkContext.defaultParallelism,
+        )
         sentences = segment.segment_turns(
             assemble.filter_extractable(
                 assemble.explode_documents(assemble.assemble_documents_fused(raw))
             )
         )
         return extract.explode_mentions(
-            extract.extract_sentences(
-                sentences, w_bc, v_bc, model_key=key,
-                repartition_to=10 * spark_.sparkContext.defaultParallelism,
-            )
+            extract.extract_sentences(sentences, w_bc, v_bc, model_key=key)
+        )
+
+    def jvm_control_read(spark_, _sf_dir, path=input_path):
+        """Pure-JVM CONTROL stage with the same shuffle shape as kg_extract
+        (one conv_id hash exchange -> fused assembly -> explode -> narrow
+        per-token compute) but ZERO Python: its N-vs-4N scaling bounds what
+        ANY code can achieve on this platform (single-JVM memory bus +
+        hypervisor core budget), separating platform loss from the
+        Python/Arrow path's own loss. Compute = 512 chained string-keyed
+        xxhash64 rounds per token, sized to kg_extract's wall-time regime."""
+        from pyspark.sql import functions as F
+
+        from antnre_spark import assemble
+
+        raw = assemble.partition_for_extraction(
+            spark_.read.parquet(path),
+            10 * spark_.sparkContext.defaultParallelism,
+        )
+        docs = assemble.assemble_documents_fused(raw)
+        turns = assemble.filter_extractable(assemble.explode_documents(docs))
+        toks = F.split(F.trim("text"), r"\s+")
+        per_tok = F.transform(
+            toks,
+            lambda t: F.aggregate(
+                F.sequence(F.lit(1), F.lit(512)),
+                F.xxhash64(t),
+                lambda acc, i: F.xxhash64(t, acc, i),
+            ),
+        )
+        # XOR folds (no ANSI overflow) + a groupBy on the hash so the
+        # count() action MUST evaluate the compute (a bare projection gets
+        # column-pruned under count; a global agg's row count is known
+        # without evaluating it — both measured as false 1.8s walls)
+        h = F.aggregate(
+            per_tok, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+        )
+        return (
+            turns.select(h.alias("h"))
+            .groupBy(F.pmod("h", F.lit(7)).alias("g"))
+            .agg(F.count("*").alias("n"))
         )
 
     q = entrymod.queries()
@@ -100,9 +140,12 @@ def main() -> None:
         "ss_topk_cosine": q["ss_topk_cosine"],
         "t_quality": q["t_quality"],
     }
+    # the control stage is opt-in by name (scaling campaigns), not part of
+    # the driver's default headline set
+    extras = {"jvm_control": jvm_control_read}
     if only:
         names = only.split(",")
-        headline = {n: headline[n] for n in names}
+        headline = {n: {**headline, **extras}[n] for n in names}
 
     # count the input turns once for the turns/sec headline metric
     n_turns = spark.read.parquet(input_path).count()
@@ -121,7 +164,7 @@ def main() -> None:
     out_rows: dict[str, int] = {}
     for name, fn in headline.items():
         if warmup:
-            if name in ("kg_pipeline", "kg_extract"):
+            if name in ("kg_pipeline", "kg_extract", "jvm_control"):
                 fn(spark, sf_dir, path=warm_path).count()
             else:
                 fn(spark, sf_dir).count()

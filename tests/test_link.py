@@ -16,7 +16,12 @@ def fixture_entities(spark, pipeline_out):
 
 
 class TestConnectedComponents:
-    def test_chain_collapses_to_min_label(self, spark):
+    """Each case runs BOTH CC strategies: threshold large -> driver-local
+    union-find; threshold 0 -> the distributed propagation loop. Labels
+    must be identical."""
+
+    @pytest.mark.parametrize("threshold", [link.LOCAL_CC_MAX_EDGES, 0])
+    def test_chain_collapses_to_min_label(self, spark, threshold):
         """A length-6 chain needs several propagation iterations — the loop
         must run to fixpoint, not a fixed small count."""
         names = ["a", "b", "c", "d", "e", "f"]
@@ -30,12 +35,13 @@ class TestConnectedComponents:
         )
         got = {
             r["norm"]: r["component"]
-            for r in link.connected_components(edges, nodes).collect()
+            for r in link.connected_components(edges, nodes, local_threshold=threshold).collect()
         }
         assert all(got[n] == "a" for n in names)
         assert got["zz_isolated"] == "zz_isolated"
 
-    def test_two_components_stay_separate(self, spark):
+    @pytest.mark.parametrize("threshold", [link.LOCAL_CC_MAX_EDGES, 0])
+    def test_two_components_stay_separate(self, spark, threshold):
         edges = spark.createDataFrame(
             [("T", "a", "b"), ("T", "x", "y")], ["ent_type", "norm_a", "norm_b"]
         )
@@ -44,11 +50,12 @@ class TestConnectedComponents:
         )
         got = {
             r["norm"]: r["component"]
-            for r in link.connected_components(edges, nodes).collect()
+            for r in link.connected_components(edges, nodes, local_threshold=threshold).collect()
         }
         assert got == {"a": "a", "b": "a", "x": "x", "y": "x"}
 
-    def test_type_partitioned(self, spark):
+    @pytest.mark.parametrize("threshold", [link.LOCAL_CC_MAX_EDGES, 0])
+    def test_type_partitioned(self, spark, threshold):
         """Same norm under different ent_types must NOT merge."""
         edges = spark.createDataFrame(
             [("Loc", "springfield", "sprngfield")],
@@ -60,7 +67,7 @@ class TestConnectedComponents:
         )
         got = {
             (r["ent_type"], r["norm"]): r["component"]
-            for r in link.connected_components(edges, nodes).collect()
+            for r in link.connected_components(edges, nodes, local_threshold=threshold).collect()
         }
         assert got[("Loc", "sprngfield")] == "springfield"
         assert got[("Peop", "springfield")] == "springfield"  # own component

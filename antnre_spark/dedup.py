@@ -130,6 +130,18 @@ def word_ngrams(norm_text: Column, n: int = 3) -> Column:
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Smoke-scale inputs arrive as ONE parquet split, which would pin the
+    per-doc signature UDFs to a single core; fan out to the session's
+    parallelism first. A no-op whenever the scan already has enough splits
+    — the 100 TB case, where the input is thousands of row groups and this
+    must NOT introduce a shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 _BANDS_T = ArrayType(StringType(), False)
 
 
@@ -174,6 +186,7 @@ def minhash_dup_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band. Bucket-capped
     self-join exactly like entity linking (SURVEY.md §2.G G3-G4)."""
+    df = _ensure_parallelism(df)
     signed = df.select(
         F.col(id_col).alias("id"),
         F.explode(_doc_band_udf(normalize_text(F.col(text_col)))).alias("band"),
@@ -241,6 +254,7 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) <= max_hamming via the 4-block
     pigeonhole join: distance <= 3 implies at least one equal 16-bit block,
     so the self-join key is (block_idx, block_value) — linear, not n^2."""
+    df = _ensure_parallelism(df)
     sh = df.select(F.col(id_col).alias("id"), _simhash_udf(normalize_text(F.col(text_col))).alias("sig"))
     blocks = sh.select(
         "id",

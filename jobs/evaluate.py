@@ -32,13 +32,20 @@ def main() -> None:
         out_root=args.out, weights_npz=args.weights, vocab_json=args.vocab
     )
     golden = Path(args.golden)
+    mentions = cfg.table("mentions").load(spark)
+    triples = cfg.table("triples").load(spark)
+    if mentions is None or triples is None:
+        raise SystemExit(
+            "no mentions/triples tables under --out: run jobs/extract.py "
+            "and jobs/link_materialize.py first"
+        )
     report = {
         "mentions": eval_mentions(
-            cfg.table("mentions").load(spark),
+            mentions,
             spark.read.parquet(str(golden / "mentions.parquet")),
         ),
         "triples": eval_triples(
-            cfg.table("triples").load(spark),
+            triples,
             spark.read.parquet(str(golden / "triples.parquet")),
         ),
     }

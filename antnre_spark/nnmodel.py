@@ -248,6 +248,29 @@ class AntNREModel:
             tags[t - 1] = back[t, tags[t]]
         return tags
 
+    def viterbi_many(self, emissions: np.ndarray) -> np.ndarray:
+        """Batched Viterbi over same-length sentences [B, T, n_tags] ->
+        [B, T]. Element-for-element the same recurrence, max, and
+        first-max tie-break as ``viterbi`` (asserted equal in
+        tests/test_nnmodel.py); one python loop over T replaces B of them.
+        """
+        trans = self.w["crf_transitions"] + CRF_CONSTRAINTS
+        B, T, _ = emissions.shape
+        if T == 0:
+            return np.zeros((B, 0), dtype=np.int64)
+        score = emissions[:, 0] + START_CONSTRAINTS  # [B, n]
+        back = np.zeros((B, T, N_TAGS), dtype=np.int64)
+        for t in range(1, T):
+            cand = score[:, :, None] + trans[None]  # [B, src, dst]
+            back[:, t] = cand.argmax(axis=1)
+            score = cand.max(axis=1) + emissions[:, t]
+        tags = np.zeros((B, T), dtype=np.int64)
+        tags[:, -1] = score.argmax(axis=1)
+        rows = np.arange(B)
+        for t in range(T - 1, 0, -1):
+            tags[:, t - 1] = back[rows, t, tags[:, t]]
+        return tags
+
     @staticmethod
     def spans_from_tags(tag_ids: np.ndarray) -> list[tuple[int, int, str]]:
         """BIO tag sequence -> (begin, end, type) spans, first-by-position.
@@ -270,9 +293,13 @@ class AntNREModel:
         return spans
 
     def extract_mentions(
-        self, hidden: np.ndarray, emissions: np.ndarray
+        self,
+        hidden: np.ndarray,
+        emissions: np.ndarray,
+        tag_ids: np.ndarray | None = None,
     ) -> list[Mention]:
-        tag_ids = self.viterbi(emissions)
+        if tag_ids is None:
+            tag_ids = self.viterbi(emissions)
         probs = _softmax(emissions, axis=1)
         mentions = []
         for b, e, t in self.spans_from_tags(tag_ids):
@@ -297,41 +324,49 @@ class AntNREModel:
         W2, b2 = self.w["rel_W2"], self.w["rel_b2"]
         pair_bias = self.w["rel_pair_bias"]  # [4, 4, n_rels]
         trig = self.w["rel_trig"]  # [V, n_rels]
-        out: list[Relation] = []
         span_vecs = {
             i: hidden[m.begin : m.end].mean(axis=0) for i, m in enumerate(mentions)
         }
+        zeros = np.zeros(hidden.shape[1], dtype=np.float32)
+        # gather admissible ordered pairs, then ONE batched MLP matmul —
+        # per-pair matvecs were the hottest python loop in the whole model
+        pairs: list[tuple[int, int, int, int]] = []
+        feats: list[np.ndarray] = []
         for i, mi in enumerate(mentions):
             for j, mj in enumerate(mentions):
                 if i == j or abs(mi.begin - mj.begin) > MAX_PAIR_DISTANCE:
                     continue
                 lo, hi = min(mi.end, mj.end), max(mi.begin, mj.begin)
-                between = hidden[lo:hi] if hi > lo else None
-                between_vec = (
-                    between.mean(axis=0)
-                    if between is not None and len(between)
-                    else np.zeros(hidden.shape[1], dtype=np.float32)
+                between_vec = hidden[lo:hi].mean(axis=0) if hi > lo else zeros
+                pairs.append((i, j, lo, hi))
+                feats.append(
+                    np.concatenate([span_vecs[i], span_vecs[j], between_vec])
                 )
-                feat = np.concatenate([span_vecs[i], span_vecs[j], between_vec])
-                logits = np.maximum(feat @ W1 + b1, 0.0) @ W2 + b2
-                ti = ENT_TYPES.index(mi.ent_type)
-                tj = ENT_TYPES.index(mj.ent_type)
-                logits = logits + pair_bias[ti, tj] + REL_VALIDITY[ti, tj]
-                trig_sum = (
-                    trig[token_ids[lo:hi]].sum(axis=0)
-                    if hi > lo
-                    else np.zeros(N_RELS, dtype=np.float32)
-                )
-                trig_sum = np.where(REL_VALIDITY[ti, tj] < 0, 0.0, trig_sum)
-                if trig_sum[1:].max(initial=0.0) <= 0.0:
-                    logits[0] += 6.0  # no admissible trigger between -> None
-                logits = logits + trig_sum
-                if mi.begin > mj.begin:
-                    logits[0] += 8.0  # prefer textual-order (subj first)
-                k = int(logits.argmax())
-                if k != 0:
-                    conf = float(np.round(_softmax(logits)[k], 6))
-                    out.append(Relation(i, j, REL_TYPES[k], conf))
+        if not pairs:
+            return []
+        X = np.stack(feats)  # [P, 6h]
+        logits_all = np.maximum(X @ W1 + b1, 0.0) @ W2 + b2  # [P, n_rels]
+        out: list[Relation] = []
+        for (i, j, lo, hi), logits in zip(pairs, logits_all):
+            mi, mj = mentions[i], mentions[j]
+            ti = ENT_TYPES.index(mi.ent_type)
+            tj = ENT_TYPES.index(mj.ent_type)
+            logits = logits + pair_bias[ti, tj] + REL_VALIDITY[ti, tj]
+            trig_sum = (
+                trig[token_ids[lo:hi]].sum(axis=0)
+                if hi > lo
+                else np.zeros(N_RELS, dtype=np.float32)
+            )
+            trig_sum = np.where(REL_VALIDITY[ti, tj] < 0, 0.0, trig_sum)
+            if trig_sum[1:].max(initial=0.0) <= 0.0:
+                logits[0] += 6.0  # no admissible trigger between -> None
+            logits = logits + trig_sum
+            if mi.begin > mj.begin:
+                logits[0] += 8.0  # prefer textual-order (subj first)
+            k = int(logits.argmax())
+            if k != 0:
+                conf = float(np.round(_softmax(logits)[k], 6))
+                out.append(Relation(i, j, REL_TYPES[k], conf))
         return out
 
     # ---- F4: GCN joint type refinement -----------------------------------
@@ -401,9 +436,26 @@ class AntNREModel:
         the unit the Spark mapInPandas stage and the oracle both call.
         ``refine_types`` switches on the F4 GCN joint refinement pass."""
         encoded = self.encode(tokens_batch)
+        # batched Viterbi per exact-length group: one T-loop per length
+        # instead of one per sentence (same recurrence, see viterbi_many)
+        tags_all: list = [None] * len(tokens_batch)
+        groups: dict[int, list[int]] = {}
+        for i, (_h, e) in enumerate(encoded):
+            groups.setdefault(e.shape[0], []).append(i)
+        for T, idxs in groups.items():
+            emis = (
+                np.stack([encoded[i][1] for i in idxs])
+                if T
+                else np.zeros((len(idxs), 0, N_TAGS), dtype=np.float32)
+            )
+            tags = self.viterbi_many(emis)
+            for k, i in enumerate(idxs):
+                tags_all[i] = tags[k]
         results = []
-        for toks, (hidden, emissions) in zip(tokens_batch, encoded):
-            mentions = self.extract_mentions(hidden, emissions)
+        for i, (toks, (hidden, emissions)) in enumerate(
+            zip(tokens_batch, encoded)
+        ):
+            mentions = self.extract_mentions(hidden, emissions, tags_all[i])
             rels = self.classify_relations(hidden, self._token_ids(toks), mentions)
             if refine_types:
                 mentions, rels = self.refine_mention_types(hidden, mentions, rels)

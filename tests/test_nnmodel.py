@@ -199,3 +199,13 @@ class TestGCNRefinement:
             for s, (ms, rs) in zip(sents, direct)
         }
         assert got == want
+
+
+class TestBatchedViterbi:
+    def test_viterbi_many_matches_single(self, model):
+        rng = np.random.default_rng(11)
+        for T in (1, 2, 7, 19):
+            emis = rng.standard_normal((16, T, len(TAGS))).astype(np.float32)
+            batched = model.viterbi_many(emis)
+            for b in range(16):
+                assert (batched[b] == model.viterbi(emis[b])).all()

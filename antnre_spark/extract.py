@@ -118,6 +118,64 @@ def extract_sentences(
     return sentences.mapInPandas(run, EXTRACTED)
 
 
+def extract_sentences_arrow(
+    sentences: DataFrame,
+    weights_bc,
+    vocab_bc,
+    token_budget: int = TOKEN_BUDGET,
+    model_key: str = "default",
+    repartition_to: int | None = None,
+    refine_types: bool = False,
+) -> DataFrame:
+    """mapInArrow variant of extract_sentences (SURVEY.md §2.L): consumes
+    pyarrow RecordBatches directly, skipping the pandas materialization on
+    BOTH sides of the Arrow hop (the model needs plain python token lists
+    either way, so only the frame-building overhead differs). Output is
+    row-identical to extract_sentences — asserted in tests/test_invariants.
+    """
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    sentences = sentences.select("conv_id", "turn_idx", "sent_idx", "tokens")
+    if repartition_to:
+        sentences = sentences.repartition(repartition_to)
+    arrow_schema = to_arrow_schema(EXTRACTED)
+    m_type = arrow_schema.field("mentions").type
+    r_type = arrow_schema.field("relations").type
+
+    def run(batches):
+        model = _model_for(weights_bc, vocab_bc, model_key)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            toks_all = rb.column(3).to_pylist()
+            # token-budget re-chunk (same rule as _token_chunks)
+            bounds, start, acc = [], 0, 0
+            for i, t in enumerate(toks_all):
+                if acc + len(t) > token_budget and i > start:
+                    bounds.append((start, i))
+                    start, acc = i, 0
+                acc += len(t)
+            bounds.append((start, n))
+            for lo, hi in bounds:
+                toks = toks_all[lo:hi]
+                results = model.extract(toks, refine_types=refine_types)
+                out_m, out_r = _result_lists(results, toks)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(0).slice(lo, hi - lo),
+                        rb.column(1).slice(lo, hi - lo),
+                        rb.column(2).slice(lo, hi - lo),
+                        pa.array(out_m, type=m_type),
+                        pa.array(out_r, type=r_type),
+                    ],
+                    schema=arrow_schema,
+                )
+
+    return sentences.mapInArrow(run, EXTRACTED)
+
+
 def extract_conversations(
     sentences: DataFrame,
     weights_bc,
@@ -156,6 +214,21 @@ def extract_conversations(
 
 
 def _results_frame(chunk: pd.DataFrame, toks, results) -> pd.DataFrame:
+    out_m, out_r = _result_lists(results, toks)
+    return pd.DataFrame(
+        {
+            "conv_id": chunk["conv_id"].values,
+            "turn_idx": chunk["turn_idx"].values,
+            "sent_idx": chunk["sent_idx"].values,
+            "mentions": out_m,
+            "relations": out_r,
+        }
+    )
+
+
+def _result_lists(results, toks) -> tuple[list, list]:
+    """Model output -> plain mention/relation dict lists (shared by the
+    pandas and the Arrow stage bodies)."""
     out_m, out_r = [], []
     for (mentions, relations), tk in zip(results, toks):
         out_m.append(
@@ -191,15 +264,7 @@ def _results_frame(chunk: pd.DataFrame, toks, results) -> pd.DataFrame:
                 for r in relations
             ]
         )
-    return pd.DataFrame(
-        {
-            "conv_id": chunk["conv_id"].values,
-            "turn_idx": chunk["turn_idx"].values,
-            "sent_idx": chunk["sent_idx"].values,
-            "mentions": out_m,
-            "relations": out_r,
-        }
-    )
+    return out_m, out_r
 
 
 def _mention_id(conv, turn, sent, begin, end):

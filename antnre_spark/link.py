@@ -66,14 +66,21 @@ _SIG_SCHEMA = StructType(
 @F.pandas_udf(_SIG_SCHEMA)
 def _sign_udf(surfaces: pd.Series) -> pd.DataFrame:
     """G2+G3: normalized surface -> (sorted gram codes, LSH band keys).
-    Delegates to antnre_spark.hashing so the oracle is bit-identical."""
-    grams_out, bands_out = [], []
-    for s in surfaces:
-        codes = hashing.gram_codes(s)
-        sig = hashing.minhash_signature(codes)
-        grams_out.append(codes.tolist())
-        bands_out.append(hashing.band_keys(sig))
-    return pd.DataFrame({"grams": grams_out, "bands": bands_out})
+    Delegates to antnre_spark.hashing so the oracle is bit-identical;
+    signatures come from the bulk [K, total_grams] path (one matrix op per
+    Arrow batch — tested equal to the per-surface path)."""
+    grams = [hashing.gram_codes(s) for s in surfaces]
+    sigs = (
+        hashing.minhash_signatures_bulk(grams)
+        if grams
+        else []
+    )
+    return pd.DataFrame(
+        {
+            "grams": [g.tolist() for g in grams],
+            "bands": [hashing.band_keys(sig) for sig in sigs],
+        }
+    )
 
 
 def distinct_surfaces(mentions: DataFrame) -> DataFrame:

@@ -82,20 +82,8 @@ def start_extraction_stream(
     rel_t = IceLite(f"{out_root}/relations_stream")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sentences = segment.segment_turns(
-            assemble.filter_extractable(batch_df)
-        )
-        extracted = extract.extract_sentences(
-            sentences, weights_bc, vocab_bc, model_key=model_key
-        ).localCheckpoint(eager=True)
-        bid = F.lit(batch_id).alias("batch_id")
-        ment_t.overwrite_partitions(
-            extract.explode_mentions(extracted).select("*", bid), ["batch_id"]
-        )
-        rel_t.overwrite_partitions(
-            extract.explode_relations(extracted).select("*", bid), ["batch_id"]
+        process_extraction_batch(
+            batch_df, batch_id, ment_t, rel_t, weights_bc, vocab_bc, model_key
         )
 
     return (
@@ -104,4 +92,33 @@ def start_extraction_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def process_extraction_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    ment_t: IceLite,
+    rel_t: IceLite,
+    weights_bc,
+    vocab_bc,
+    model_key: str,
+) -> None:
+    """One micro-batch of the extraction stream. Module-level (not a
+    closure) so the replay-idempotency property is directly testable:
+    calling this twice with the same batch_id — exactly what an
+    at-least-once foreachBatch replay does — must leave the sink
+    unchanged, because each batch OVERWRITES its own batch_id partition."""
+    if batch_df.isEmpty():
+        return
+    sentences = segment.segment_turns(assemble.filter_extractable(batch_df))
+    extracted = extract.extract_sentences(
+        sentences, weights_bc, vocab_bc, model_key=model_key
+    ).localCheckpoint(eager=True)
+    bid = F.lit(batch_id).alias("batch_id")
+    ment_t.overwrite_partitions(
+        extract.explode_mentions(extracted).select("*", bid), ["batch_id"]
+    )
+    rel_t.overwrite_partitions(
+        extract.explode_relations(extracted).select("*", bid), ["batch_id"]
     )

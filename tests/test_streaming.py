@@ -143,3 +143,32 @@ class TestSessionWindows:
         got = {(r["session_start"], r["n_turns"]) for r in second or first}
         assert len(got) == 2
         assert sum(n for _, n in got) == conv.count()
+
+
+class TestReplayIdempotency:
+    def test_replayed_batch_overwrites_not_duplicates(
+        self, spark, tmp_path, transcripts_df, fixture_paths
+    ):
+        """foreachBatch is at-least-once: a crash between the two sink
+        writes replays the WHOLE batch with the same batch_id. The sink
+        must come out identical, not doubled."""
+        from antnre_spark import extract
+        from antnre_spark.icelite import IceLite
+
+        w_bc, v_bc, key = extract.broadcast_model(
+            spark, fixture_paths["weights"], fixture_paths["vocab"]
+        )
+        ment_t = IceLite(str(tmp_path / "m"))
+        rel_t = IceLite(str(tmp_path / "r"))
+        batch = transcripts_df.filter(F.col("conv_id") < "c000020")
+        streaming.process_extraction_batch(batch, 7, ment_t, rel_t, w_bc, v_bc, key)
+        n_m = ment_t.load(spark).count()
+        n_r = rel_t.load(spark).count()
+        assert n_m > 0
+        # replay: same batch, same batch_id — must be a no-op for counts
+        streaming.process_extraction_batch(batch, 7, ment_t, rel_t, w_bc, v_bc, key)
+        assert ment_t.load(spark).count() == n_m
+        assert rel_t.load(spark).count() == n_r
+        # and mention_ids stay unique (content-position ids + overwrite)
+        ids = ment_t.load(spark).select("mention_id")
+        assert ids.distinct().count() == n_m

@@ -878,6 +878,104 @@ FROM documents
 """
 
 
+def q_t_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (LLM token budgets; textops.BPE_PATTERN
+    is restricted to syntax Java regex and RE2 treat identically)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.textops import with_bpe_token_count
+
+    return with_bpe_token_count(_doc(spark, sf_dir)).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
+def _bpe_sql() -> str:
+    from antnre_spark.textops import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id, len(regexp_extract_all(text, '{pat}'))::INT AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---- curation -----------------------------------------------------------
+
+def q_cu_sample(spark, sf_dir):
+    """Deterministic md5-keyed sampling: stable across runs, partitionings
+    AND engines — the oracle applies the identical bucket expression."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.curate import deterministic_sample
+
+    return deterministic_sample(_doc(spark, sf_dir), rate=0.25).select(
+        "doc_id", "source"
+    )
+
+
+SQL_CU_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < 250000
+"""
+
+
+def q_cu_quota(spark, sf_dir):
+    """Per-source quota (anti-domination before corpus mixing): at most 10
+    docs per source, first by doc_id."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.curate import per_source_quota
+
+    return per_source_quota(_doc(spark, sf_dir), quota=10).select(
+        "doc_id", "source"
+    )
+
+
+SQL_CU_QUOTA = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
+def q_dd_clusters(spark, sf_dir):
+    """End-to-end near-dup resolution: verified MinHash pairs (J >= 0.9)
+    -> connected clusters -> keeper per cluster. The oracle recomputes the
+    same pair set in SQL and resolves components with a recursive
+    transitive closure — full value equality over (doc, cluster, keeper)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.curate import dup_clusters
+
+    pairs = q_dd_minhash_candidates(spark, sf_dir).select("id_a", "id_b")
+    return dup_clusters(pairs)
+
+
+def _dd_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_DD_MINHASH}),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach(node, other) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.other)
+SELECT n.node AS doc_id,
+       least(n.node, min(r.other)) AS cluster_id,
+       n.node = least(n.node, min(r.other)) AS is_keeper
+FROM nodes n JOIN reach r ON r.node = n.node
+GROUP BY n.node
+"""
+
+
 # ---- deduplication ------------------------------------------------------
 
 def q_dd_exact(spark, sf_dir):
@@ -1344,6 +1442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_langid": q_t_langid,
         "t_quality": q_t_quality,
         "t_fingerprint": q_t_fingerprint,
+        "t_bpe_tokens": q_t_bpe_tokens,
+        "cu_sample": q_cu_sample,
+        "cu_quota": q_cu_quota,
+        "dd_clusters": q_dd_clusters,
         "dd_exact": q_dd_exact,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash_candidates": q_dd_minhash_candidates,
@@ -1394,6 +1496,10 @@ def oracle_sql() -> dict[str, str]:
         "t_langid": _langid_sql(),
         "t_quality": _quality_sql(),
         "t_fingerprint": SQL_T_FINGERPRINT,
+        "t_bpe_tokens": _bpe_sql(),
+        "cu_sample": SQL_CU_SAMPLE,
+        "cu_quota": SQL_CU_QUOTA,
+        "dd_clusters": _dd_clusters_sql(),
         "dd_exact": SQL_DD_EXACT,
         "dd_ngram_jaccard": SQL_DD_NGRAM,
         "dd_minhash_candidates": SQL_DD_MINHASH,

@@ -38,6 +38,26 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", F.size(tokens_of(F.col(text_col))))
 
 
+# BPE-ish pre-tokenizer: contractions | space?+letters | space?+digits |
+# space?+punct-run — the GPT-2-style split shape, restricted to syntax both
+# Java regex (Spark) and RE2 (DuckDB) support identically (no lookahead),
+# verified on unicode inputs. Counting THESE tokens approximates LLM token
+# budgets far better than whitespace words (punctuation and number runs
+# count separately).
+BPE_PATTERN = r"'[a-zA-Z]+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens_of(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LLM-budget token count: len(BPE-ish pre-tokens). Pure JVM regex."""
+    return df.withColumn(
+        "n_bpe_tokens", F.size(bpe_tokens_of(F.col(text_col)))
+    )
+
+
 def _stopword_hits(toks: Column, words: list[str]) -> Column:
     lit_arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, F.lower(t))))

@@ -203,3 +203,57 @@ class TestMultimodal:
     def test_media_stats(self, media):
         stats = {r["kind"]: r["n_items"] for r in multimodal.media_stats(media).collect()}
         assert stats == {"image": 1, "audio": 1, "video": 1}
+
+
+class TestCuration:
+    def test_deterministic_sample_stable_and_proportional(self, spark):
+        from antnre_spark import curate
+
+        df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+        a = sorted(r["doc_id"] for r in curate.deterministic_sample(df, 0.25).collect())
+        b = sorted(r["doc_id"] for r in curate.deterministic_sample(df, 0.25).collect())
+        assert a == b                      # stable across runs
+        assert 0.2 < len(a) / 10_000 < 0.3  # ~rate
+        # monotone: a smaller rate yields a SUBSET (same hash, lower cut)
+        c = set(r["doc_id"] for r in curate.deterministic_sample(df, 0.1).collect())
+        assert c <= set(a)
+
+    def test_per_source_quota_caps_hot_source(self, spark):
+        from antnre_spark import curate
+
+        rows = [(i, "hot") for i in range(100)] + [(1000 + i, "cold") for i in range(3)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = curate.per_source_quota(df, quota=5).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r["doc_id"])
+        assert sorted(by_src["hot"]) == [0, 1, 2, 3, 4]  # first by doc_id
+        assert len(by_src["cold"]) == 3
+
+    def test_dup_clusters_keeper_is_min(self, spark):
+        from antnre_spark import curate
+
+        # two clusters: {1,5,9} via chain, {20,21}
+        pairs = spark.createDataFrame(
+            [(1, 5), (5, 9), (20, 21)], ["id_a", "id_b"]
+        )
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+            for r in curate.dup_clusters(pairs).collect()
+        }
+        assert got == {
+            1: (1, True), 5: (1, False), 9: (1, False),
+            20: (20, True), 21: (20, False),
+        }
+
+
+class TestBpeTokens:
+    def test_counts_punct_and_numbers_separately(self, spark):
+        from antnre_spark.textops import with_bpe_token_count
+
+        df = spark.createDataFrame(
+            [(0, "Hello, world! It's 42.5 degrees.")], ["doc_id", "text"]
+        )
+        n = with_bpe_token_count(df).collect()[0]["n_bpe_tokens"]
+        # Hello , _world ! _It 's _42 . 5 _degrees . -> 11
+        assert n == 11

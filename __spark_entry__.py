@@ -1205,11 +1205,20 @@ def q_dd_cosine_lsh(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    return cosine_dup_pairs(e, tau=0.35, dim=len(_query_vec(sf_dir)))
+    # n_planes sized for the SF corpus (500-5000 vectors -> 8 planes keeps
+    # buckets populated); the oracle embeds the same 8-plane weights
+    return cosine_dup_pairs(e, tau=0.35, n_planes=8, dim=len(_query_vec(sf_dir)))
 
 
-def _cosine_lsh_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    dim = len(_query_vec(sf_dir))
+def _oracle_sf_dir() -> str:
+    """The sf dir the oracle SQL is generated against. The graft driver
+    compares at sf0.01; tools/check_contract.py exports its --sf here so
+    dim-dependent oracles (plane-weight literals) match the checked data."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _cosine_lsh_sql(sf_dir: str | None = None) -> str:
+    dim = len(_query_vec(sf_dir or _oracle_sf_dir()))
     bkt = _bucket_sql(8, dim)
     return f"""
 WITH e AS (
@@ -1282,8 +1291,8 @@ def q_ss_bucketed_topk(spark, sf_dir):
     return bucketed_topk(idx, _query_vec(sf_dir), k=10)
 
 
-def _ss_bucketed_sql(sf_dir: str = "/root/testdata/sf0.01", n_planes: int = 8) -> str:
-    dim = len(_query_vec(sf_dir))
+def _ss_bucketed_sql(sf_dir: str | None = None, n_planes: int = 8) -> str:
+    dim = len(_query_vec(sf_dir or _oracle_sf_dir()))
     bkt = _bucket_sql(n_planes, dim)
     return f"""
 WITH e AS (
@@ -1463,7 +1472,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the two vector oracles embed plane weights for the oracle sf's
+    # embedding dim; if that parquet is absent, degrade those two entries
+    # to rows-only instead of failing every query
+    try:
+        vector_oracles = {
+            "dd_cosine_lsh": _cosine_lsh_sql(),
+            "ss_bucketed_topk": _ss_bucketed_sql(),
+        }
+    except OSError:
+        vector_oracles = {}
     return {
+        **vector_oracles,
         "a1_scan_filter": SQL_A1,
         "b2_normalize": SQL_B2,
         "c1_ordered_assembly": SQL_C1,
@@ -1505,9 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_candidates": SQL_DD_MINHASH,
         "dd_simhash_pairs": _simhash_sql(3),
         "dd_cosine_exact": SQL_DD_COSINE,
-        "dd_cosine_lsh": _cosine_lsh_sql(),
         "ss_topk_cosine": SQL_SS_TOPK,
-        "ss_bucketed_topk": _ss_bucketed_sql(),
         "mm_media_stats": SQL_MM_STATS,
         "mm_features": SQL_MM_FEATURES,
         # kg_extract_mentions, kg_triples: the numpy model stage is

@@ -68,26 +68,35 @@ def dup_clusters(pairs: DataFrame) -> DataFrame:
     minhash/simhash/cosine). Returns one row per clustered id:
     (doc_id, cluster_id, is_keeper) where cluster_id = min doc_id in the
     connected component and is_keeper marks it. Reuses
-    link.connected_components (hybrid local/distributed) via zero-padded
-    string labels so lexicographic min == numeric min."""
+    link.connected_components (hybrid local/distributed) via an
+    order-preserving string encoding: ids are offset by 2^63 into [0,
+    2^64) (decimal arithmetic — no long overflow) and zero-padded, so
+    lexicographic min == numeric min for the FULL signed-long range
+    (hash-derived ids like xxhash64 are signed)."""
+    offset = F.lit("9223372036854775808").cast("decimal(20,0)")
 
-    def as_node(col: str, alias: str) -> DataFrame:
-        return pairs.select(F.col(col).alias("v")).select(
-            F.lit("doc").alias("ent_type"),
-            F.lpad(F.col("v").cast("string"), 24, "0").alias(alias),
+    def enc(col: F.Column) -> F.Column:
+        return F.lpad(
+            (col.cast("decimal(20,0)") + offset).cast("string"), 20, "0"
+        )
+
+    def dec(col: F.Column) -> F.Column:
+        return (col.cast("decimal(21,0)") - offset).cast("long")
+
+    def as_node(col: str) -> DataFrame:
+        return pairs.select(
+            F.lit("doc").alias("ent_type"), enc(F.col(col)).alias("norm")
         )
 
     edges = pairs.select(
         F.lit("doc").alias("ent_type"),
-        F.lpad(F.col("id_a").cast("string"), 24, "0").alias("norm_a"),
-        F.lpad(F.col("id_b").cast("string"), 24, "0").alias("norm_b"),
+        enc(F.col("id_a")).alias("norm_a"),
+        enc(F.col("id_b")).alias("norm_b"),
     )
-    nodes = (
-        as_node("id_a", "norm").unionByName(as_node("id_b", "norm")).distinct()
-    )
+    nodes = as_node("id_a").unionByName(as_node("id_b")).distinct()
     comp = link.connected_components(edges, nodes)
     return comp.select(
-        F.col("norm").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("cluster_id"),
+        dec(F.col("norm")).alias("doc_id"),
+        dec(F.col("component")).alias("cluster_id"),
         (F.col("norm") == F.col("component")).alias("is_keeper"),
     )

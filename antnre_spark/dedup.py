@@ -133,11 +133,17 @@ def word_ngrams(norm_text: Column, n: int = 3) -> Column:
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Smoke-scale inputs arrive as ONE parquet split, which would pin the
     per-doc signature UDFs to a single core; fan out to the session's
-    parallelism first. A no-op whenever the scan already has enough splits
-    — the 100 TB case, where the input is thousands of row groups and this
-    must NOT introduce a shuffle."""
+    parallelism first. A no-op whenever the source already has enough
+    splits — the 100 TB case, where the input is thousands of files and
+    this must NOT introduce a shuffle.
+
+    The probe is ``df.inputFiles()`` (pure metadata — listing the plan's
+    leaf files), NOT ``df.rdd.getNumPartitions()``: under AQE, touching
+    .rdd finalizes the adaptive plan and eagerly EXECUTES every upstream
+    shuffle stage, which a later action then re-runs from scratch."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -297,7 +303,7 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tau: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 16,
     max_bucket: int = 64,
     dim: int | None = None,
 ) -> DataFrame:
@@ -308,14 +314,18 @@ def cosine_dup_pairs(
     Scale discipline (same as minhash_dup_candidates): buckets larger than
     ``max_bucket`` are DROPPED deterministically before the self-join, so
     the within-bucket pair count is bounded by n/max_bucket * C(max_bucket,
-    2) — linear in n — instead of O(n^2 / 2^n_planes). Sizing for a real
-    corpus: expected bucket size is n / 2^n_planes, so pick
-    n_planes >= log2(n / max_bucket) + margin; at 10^9 docs and
-    max_bucket=64 that is >= 24 planes (+2-3 margin for skewed buckets —
-    near-dup clusters concentrate). More planes cost recall per plane
-    (P(same bucket) = (1 - theta/pi)^n_planes); recover recall with B
-    independent plane sets (band the planes like MinHash) rather than
-    fewer planes.
+    2) — linear in n — instead of O(n^2 / 2^n_planes).
+
+    **The cap is only as good as your n_planes sizing — size it, don't
+    default it.** Expected bucket size is n / 2^n_planes; once it exceeds
+    max_bucket the cap silently drops MOST buckets and recall collapses.
+    Pick n_planes >= log2(n / max_bucket) + 2-3 margin (skewed buckets —
+    near-dup clusters concentrate): the 16-plane default is safe to ~4M
+    vectors; 10^9 docs need >= 26. Check BEFORE running with
+    ``cosine_bucket_stats`` (one cheap agg) — if dropped_frac is not ~0,
+    raise n_planes. More planes cost recall per plane (P(same bucket) =
+    (1 - theta/pi)^n_planes); recover recall with B independent plane sets
+    (band the planes like MinHash) rather than fewer planes.
     """
     from antnre_spark.simsearch import hyperplane_bucket
 
@@ -354,3 +364,33 @@ def _infer_vec_dim(df: DataFrame, vec_col: str) -> int:
     from antnre_spark.simsearch import _infer_dim
 
     return _infer_dim(df, vec_col)
+
+
+def cosine_bucket_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    max_bucket: int = 64,
+    dim: int | None = None,
+) -> DataFrame:
+    """Pre-flight sizing check for cosine_dup_pairs: one row with the
+    bucket count, max/mean bucket size, and the fraction of vectors that
+    the max_bucket cap would DROP at this n_planes. Run it before a big
+    dedup job; if dropped_frac is not ~0, raise n_planes ('no silent
+    caps' — the drop is deterministic but it must be a decision, not an
+    accident)."""
+    from antnre_spark.simsearch import hyperplane_bucket
+
+    planes = hashing.plane_weights(dim or _infer_vec_dim(df, vec_col), n_planes)
+    sizes = (
+        df.select(hyperplane_bucket(F.col(vec_col), planes).alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.count("*").alias("n"))
+    )
+    dropped = F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.round(F.avg("n"), 2).alias("mean_bucket_size"),
+        F.round(dropped / F.sum("n"), 6).alias("dropped_frac"),
+    )

@@ -88,13 +88,21 @@ def extract_job(
     src = transcripts.withColumn("bucket", bucket_of(F.col("conv_id"), cfg.n_buckets))
     stats = {"buckets_planned": len(planned), "buckets_run": 0, "mentions": 0, "relations": 0}
 
+    # the assembly shuffle doubles as the compute stage's parallelism
+    # source (assemble.partition_for_extraction): ONE conv_id exchange,
+    # sized for cores, that Catalyst reuses for the groupBy. Without this,
+    # AQE's size-based coalescing would shrink a small assembly shuffle to
+    # 1 partition and run the compute-bound model stage on one core.
+    n_parts = 10 * spark.sparkContext.defaultParallelism
+
     for b in todo:
         part = src.filter(F.col("bucket") == b)
         input_rows = part.count()
 
         # fused C2+C1: dedup + ordered assembly in a single shuffle
         docs = assemble.assemble_documents_fused(
-            part.drop("bucket"), cfg.max_turns_per_doc
+            assemble.partition_for_extraction(part.drop("bucket"), n_parts),
+            cfg.max_turns_per_doc,
         ).withColumn("bucket", F.lit(b))
         docs_t.overwrite_partitions(docs, ["bucket"])
 

@@ -74,10 +74,17 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     """One tiny job to read the vector width when the caller doesn't know
-    it. Prefer passing ``dim`` explicitly in production plans."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    it (null rows skipped). Prefer passing ``dim`` explicitly in
+    production plans — this probe executes the upstream plan once."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("d") > 0))
+        .first()
+    )
     if row is None:
-        raise ValueError(f"cannot infer dim of empty DataFrame ({vec_col})")
+        raise ValueError(
+            f"cannot infer dim: no non-null {vec_col} rows — pass dim="
+        )
     return int(row["d"])
 
 

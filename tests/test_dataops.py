@@ -246,6 +246,18 @@ class TestCuration:
             20: (20, True), 21: (20, False),
         }
 
+    def test_dup_clusters_negative_ids(self, spark):
+        """Hash-derived ids are SIGNED: the keeper must be the numeric
+        min, not the lexicographic min of a naive zero-pad."""
+        from antnre_spark import curate
+
+        pairs = spark.createDataFrame([(-20, -19), (-19, 3)], ["id_a", "id_b"])
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+            for r in curate.dup_clusters(pairs).collect()
+        }
+        assert got == {-20: (-20, True), -19: (-20, False), 3: (-20, False)}
+
 
 class TestBpeTokens:
     def test_counts_punct_and_numbers_separately(self, spark):

@@ -67,6 +67,10 @@ def main() -> None:
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 
+    # dim-dependent oracles (plane-weight literals) must be generated
+    # against the SAME sf dir the queries run on
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = args.sf
+
     import duckdb
 
     import __spark_entry__ as entrymod

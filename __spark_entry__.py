@@ -613,6 +613,85 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
 """
 
 
+def q_i_asof_join(spark, sf_dir):
+    """TRUE as-of join (SURVEY.md §2.I range/as-of): each view event joined
+    to the user's most recent purchase at-or-before it. Spark formulation:
+    union-tag both streams, one window pass carrying last(purchase value)
+    forward — no range join explosion, one shuffle on user_id. The oracle
+    is DuckDB's native ASOF LEFT JOIN. Purchases are pre-aggregated per
+    (user, ts) so the at-tie pick is total on both engines."""
+    ev = _ev(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    tagged = purchases.select(
+        "user_id", "ts", "p_value", F.lit(None).cast("long").alias("event_id")
+    ).unionByName(
+        views.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("p_value"), "event_id"
+        )
+    )
+    # purchases sort before views at equal ts (event_id NULLS FIRST) so an
+    # at-tie purchase is visible to the view — ASOF's >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_purchase", F.last("p_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round("last_purchase", 4).alias("last_purchase"),
+        )
+    )
+
+
+SQL_I_ASOF = """
+WITH purchases AS (
+  SELECT user_id, ts, max(value) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+views AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT v.event_id, v.user_id, round(p.p_value, 4) AS last_purchase
+FROM views v ASOF LEFT JOIN purchases p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+
+def q_h_rollup(spark, sf_dir):
+    """Hierarchical aggregate (§2.H widening): ROLLUP over
+    (returnflag, linestatus) with grouping_id distinguishing subtotal
+    levels — the lineage-dashboard shape for partition metrics."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_H_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows,
+       grouping(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 # ---- K: scalar function families ----------------------------------------
 
 def q_k_string_funcs(spark, sf_dir):
@@ -1440,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i_semi_join": q_i_semi_join,
         "i_anti_join": q_i_anti_join,
         "i_broadcast_join": q_i_broadcast_join,
+        "i_asof_join": q_i_asof_join,
+        "h_rollup": q_h_rollup,
         "k_string_funcs": q_k_string_funcs,
         "k_datetime": q_k_datetime,
         "k_json": q_k_json,
@@ -1505,6 +1586,8 @@ def oracle_sql() -> dict[str, str]:
         "i_semi_join": SQL_I_SEMI,
         "i_anti_join": SQL_I_ANTI,
         "i_broadcast_join": SQL_I_BROADCAST,
+        "i_asof_join": SQL_I_ASOF,
+        "h_rollup": SQL_H_ROLLUP,
         "k_string_funcs": SQL_K_STRING,
         "k_datetime": SQL_K_DATETIME,
         "k_json": SQL_K_JSON,

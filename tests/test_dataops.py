@@ -269,3 +269,15 @@ class TestBpeTokens:
         n = with_bpe_token_count(df).collect()[0]["n_bpe_tokens"]
         # Hello , _world ! _It 's _42 . 5 _degrees . -> 11
         assert n == 11
+
+
+class TestCosineBucketStats:
+    def test_dropped_frac_flags_undersized_planes(self, spark):
+        from antnre_spark.dedup import cosine_bucket_stats
+
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        r = cosine_bucket_stats(df, n_planes=4, max_bucket=16).collect()[0]
+        assert r["dropped_frac"] == 1.0  # one 100-row bucket, cap 16
+        r2 = cosine_bucket_stats(df, n_planes=4, max_bucket=128).collect()[0]
+        assert r2["dropped_frac"] == 0.0

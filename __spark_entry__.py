@@ -1484,6 +1484,55 @@ def q_kg_extract_mentions(spark, sf_dir):
     )
 
 
+def _kg_mentions_sql() -> str:
+    """FULL value-equality oracle for the model extraction path.
+
+    The synthetic transcripts draw their text from the deterministic
+    512-sentence template pool (pool_idx = event_id % 512), and every pool
+    sentence is single-sentence (no internal boundary), so the mentions the
+    numpy model emits per pool sentence are a fixed lookup — computed HERE
+    once, by the same nnmodel the oracle shares, and embedded as a VALUES
+    table. DuckDB then reconstructs conv_id/turn_idx from events and joins:
+    value equality verifies the ENTIRE distributed plumbing (assembly
+    dedup, role filter, segmentation, Arrow batching, mention explode,
+    mention_id minting) around the model, with the model itself pinned by
+    the same-process forward pass (the parity criterion's shape)."""
+    _ensure_fixtures()
+    from antnre_spark.nnmodel import AntNREModel
+
+    pool = _template_pool()
+    model = AntNREModel.from_files(
+        os.path.join(FIXDIR, "weights.npz"), os.path.join(FIXDIR, "vocab.json")
+    )
+    results = model.extract([s.split() for s in pool])
+    rows = []
+    for idx, ((mentions, _rels), s) in enumerate(zip(results, pool)):
+        toks = s.split()
+        for m in mentions:
+            surface = " ".join(toks[m.begin : m.end]).replace("'", "''")
+            # conf goes through a STRING cast: a bare numeric literal would
+            # parse as DECIMAL first and round the last ulp away
+            rows.append(
+                f"({idx}, {m.begin}, {m.end}, '{m.ent_type}', "
+                f"'{surface}', '{m.conf!r}'::DOUBLE)"
+            )
+    values = ",\n".join(rows)
+    return f"""
+WITH ev AS (
+  SELECT concat('u', user_id::VARCHAR) AS conv_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         (event_id % 512)::INT AS pool_idx
+  FROM events),
+m(pool_idx, mbegin, mend, ent_type, surface, conf) AS (VALUES
+{values})
+SELECT ev.conv_id, ev.turn_idx, 0 AS sent_idx,
+       concat(ev.conv_id, ':', ev.turn_idx::VARCHAR, ':0:',
+              mbegin::VARCHAR, '-', mend::VARCHAR) AS mention_id,
+       mbegin AS begin, mend AS "end", ent_type, surface, conf
+FROM ev JOIN m USING (pool_idx)
+"""
+
+
 def q_kg_triples(spark, sf_dir):
     """Full flagship pipeline at this sf (rows-only: the model stage is not
     SQL-expressible). ``provenance`` is an array<struct> in the pipeline
@@ -1611,6 +1660,8 @@ def oracle_sql() -> dict[str, str]:
         "ss_topk_cosine": SQL_SS_TOPK,
         "mm_media_stats": SQL_MM_STATS,
         "mm_features": SQL_MM_FEATURES,
-        # kg_extract_mentions, kg_triples: the numpy model stage is
-        # genuinely non-SQL-expressible — rows-only by contract.
+        "kg_extract_mentions": _kg_mentions_sql(),
+        # kg_triples: the full pipeline (model + LSH linking + CC) stays
+        # rows-only — its correctness gate is the dedicated numpy-oracle
+        # parity suite (jobs/evaluate.py P/R 1.0), not a SQL twin.
     }

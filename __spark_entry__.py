@@ -1534,12 +1534,133 @@ FROM ev JOIN m USING (pool_idx)
 
 
 def q_kg_triples(spark, sf_dir):
-    """Full flagship pipeline at this sf (rows-only: the model stage is not
-    SQL-expressible). ``provenance`` is an array<struct> in the pipeline
-    output; the demo serializes it with to_json because the driver's
-    canonicalizer cannot hash list cells — pipeline schema unchanged."""
+    """Full flagship pipeline at this sf — FULLY oracle-checked end to end
+    (extraction + MinHash/LSH/CC linking + triple aggregation): see
+    _kg_triples_sql for how the oracle reconstructs the exact triple set.
+    The demo projects provenance as scalar summaries (count + first
+    element) because the driver's canonicalizer cannot hash array cells;
+    pipeline schema unchanged."""
     triples = run_kg_pipeline(spark, synth_transcripts(spark, sf_dir))
-    return triples.withColumn("provenance", F.to_json("provenance"))
+    p0 = F.col("provenance")[0]
+    return triples.select(
+        "subj",
+        "pred",
+        "obj",
+        "conf",
+        "n_evidence",
+        F.size("provenance").alias("n_prov"),
+        F.concat_ws(
+            ":",
+            p0["conv_id"],
+            p0["turn_idx"].cast("string"),
+            p0["sent_idx"].cast("string"),
+        ).alias("prov_first"),
+    )
+
+
+def _kg_triples_sql(sf_dir: str | None = None) -> str:
+    """FULL value-equality oracle for the flagship pipeline.
+
+    Every stage downstream of the events table is a deterministic function
+    of which template-pool sentences appear in the corpus:
+    - per-pool-sentence mentions/relations: the shared nnmodel forward
+      pass, computed here once (as in _kg_mentions_sql);
+    - entity linking: MinHash/LSH/verify/CC over the DISTINCT surface set
+      of the present sentences — replayed here with the same
+      antnre_spark.hashing math and the oracle module's union-find
+      (entity_id = ent_type:min-norm-component is count-independent);
+    - triples: groupBy (subj, pred, obj) with max-conf / evidence counts /
+      capped sorted provenance — reconstructed in SQL from a VALUES lookup
+      of resolved per-pool-sentence relations joined to events.
+    """
+    _ensure_fixtures()
+    import pyarrow.parquet as pq
+
+    from antnre_spark import hashing
+    from antnre_spark.nnmodel import AntNREModel
+    from oracle.antnre_oracle import _union_find
+
+    sf = sf_dir or _oracle_sf_dir()
+    ev_ids = pq.read_table(f"{sf}/events.parquet", columns=["event_id"])
+    present = sorted({int(e) % 512 for e in ev_ids["event_id"].to_pylist()})
+    pool = _template_pool()
+    model = AntNREModel.from_files(
+        os.path.join(FIXDIR, "weights.npz"), os.path.join(FIXDIR, "vocab.json")
+    )
+    results = model.extract([pool[i].split() for i in present])
+
+    def norm(s: str) -> str:
+        return " ".join(s.strip().lower().split())
+
+    # distinct surfaces of the present corpus -> linking replay
+    surfaces: set[tuple[str, str]] = set()
+    per_sentence: dict[int, tuple] = {}
+    for pidx, (mentions, relations) in zip(present, results):
+        per_sentence[pidx] = (mentions, relations)
+        toks = pool[pidx].split()
+        for m in mentions:
+            surfaces.add((m.ent_type, norm(" ".join(toks[m.begin : m.end]))))
+    grams = {key: hashing.gram_codes(key[1]) for key in surfaces}
+    buckets: dict[tuple[str, str], list[str]] = {}
+    for et, nm in sorted(surfaces):
+        for band in hashing.band_keys(hashing.minhash_signature(grams[(et, nm)])):
+            buckets.setdefault((et, band), []).append(nm)
+    edges: dict[str, list[tuple[str, str]]] = {}
+    for (et, _band), members in buckets.items():
+        if len(members) > 64:  # link.MAX_BUCKET rule
+            continue
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j_ in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j_]
+                j = hashing.jaccard(grams[(et, a)], grams[(et, b)])
+                if j >= hashing.TAU_LO and (
+                    j >= hashing.TAU_HI
+                    or hashing.levenshtein(a, b) <= hashing.LEV_MAX
+                ):
+                    edges.setdefault(et, []).append((a, b))
+    ent_id: dict[tuple[str, str], str] = {}
+    for et in sorted({k[0] for k in surfaces}):
+        nodes = sorted(nm for (t, nm) in surfaces if t == et)
+        for nm, comp in _union_find(nodes, sorted(set(edges.get(et, [])))).items():
+            ent_id[(et, nm)] = f"{et}:{comp}"
+
+    rows = []
+    for pidx in present:
+        mentions, relations = per_sentence[pidx]
+        toks = pool[pidx].split()
+        for r in relations:
+            sm, om = mentions[r.subj], mentions[r.obj]
+            subj = ent_id[(sm.ent_type, norm(" ".join(toks[sm.begin : sm.end])))]
+            obj = ent_id[(om.ent_type, norm(" ".join(toks[om.begin : om.end])))]
+            rows.append(
+                f"({pidx}, '{subj}', '{r.pred}', '{obj}', '{r.conf!r}'::DOUBLE)"
+            )
+    values = ",\n".join(rows)
+    return f"""
+WITH ev AS (
+  SELECT concat('u', user_id::VARCHAR) AS conv_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         (event_id % 512)::INT AS pool_idx
+  FROM events),
+r(pool_idx, subj, pred, obj, conf) AS (VALUES
+{values}),
+detail AS (
+  SELECT r.subj, r.pred, r.obj, r.conf, ev.conv_id, ev.turn_idx, 0 AS sent_idx
+  FROM ev JOIN r USING (pool_idx)),
+agg AS (
+  SELECT subj, pred, obj, max(conf) AS conf, count(*) AS n_evidence
+  FROM detail GROUP BY 1, 2, 3),
+firstp AS (
+  SELECT subj, pred, obj, conv_id, turn_idx, sent_idx FROM detail
+  QUALIFY row_number() OVER (PARTITION BY subj, pred, obj
+                             ORDER BY conv_id, turn_idx, sent_idx) = 1)
+SELECT a.subj, a.pred, a.obj, a.conf,
+       a.n_evidence::BIGINT AS n_evidence,
+       least(a.n_evidence, 20)::INT AS n_prov,
+       concat(f.conv_id, ':', f.turn_idx::VARCHAR, ':', f.sent_idx::VARCHAR) AS prov_first
+FROM agg a JOIN firstp f USING (subj, pred, obj)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1661,7 +1782,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_stats": SQL_MM_STATS,
         "mm_features": SQL_MM_FEATURES,
         "kg_extract_mentions": _kg_mentions_sql(),
-        # kg_triples: the full pipeline (model + LSH linking + CC) stays
-        # rows-only — its correctness gate is the dedicated numpy-oracle
-        # parity suite (jobs/evaluate.py P/R 1.0), not a SQL twin.
+        "kg_triples": _kg_triples_sql(),
     }

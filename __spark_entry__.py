@@ -1467,7 +1467,9 @@ def q_kg_extract_mentions(spark, sf_dir):
     _ensure_fixtures()
     from antnre_spark import assemble, extract, segment
 
-    transcripts = synth_transcripts(spark, sf_dir)
+    # mult pinned to 1: the oracle reconstructs conv/turn ids from the raw
+    # events table and does not model the mult replication
+    transcripts = synth_transcripts(spark, sf_dir, mult=1)
     weights_bc, vocab_bc, model_key = extract.broadcast_model(
         spark,
         os.path.join(FIXDIR, "weights.npz"),
@@ -1540,7 +1542,7 @@ def q_kg_triples(spark, sf_dir):
     The demo projects provenance as scalar summaries (count + first
     element) because the driver's canonicalizer cannot hash array cells;
     pipeline schema unchanged."""
-    triples = run_kg_pipeline(spark, synth_transcripts(spark, sf_dir))
+    triples = run_kg_pipeline(spark, synth_transcripts(spark, sf_dir, mult=1))
     p0 = F.col("provenance")[0]
     return triples.select(
         "subj",

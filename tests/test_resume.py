@@ -98,3 +98,34 @@ class TestLateSnapshot:
             ca = {tuple(r) for r in a.drop("bucket").collect()}
             cb = {tuple(r) for r in b.drop("bucket").collect()}
             assert ca == cb
+
+
+class TestEmptyBucket:
+    def test_nonextractable_bucket_commits_marker_and_resumes(
+        self, spark, cfg_factory
+    ):
+        """A bucket whose turns are all non-extractable writes NO mention
+        files (IceLite.load returns None) — the marker must still commit so
+        resume doesn't redo the bucket forever (advisor finding, round 1)."""
+        import datetime
+
+        from antnre_spark.schema import TRANSCRIPTS
+
+        rows = [
+            (
+                f"c{i:03d}",
+                0,
+                "tool",  # filtered out by filter_extractable
+                "tool output, never extracted",
+                "search",
+                datetime.datetime(2026, 1, 1, 12, 0, 0),
+            )
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(rows, TRANSCRIPTS)
+        cfg = cfg_factory("empty-buckets")
+        s1 = extract_job(spark, df, cfg)
+        assert s1["buckets_run"] == 4 and s1["mentions"] == 0
+        assert cfg.markers().committed("extract") == {"0", "1", "2", "3"}
+        s2 = extract_job(spark, df, cfg)  # resume: nothing left to do
+        assert s2["buckets_run"] == 0

@@ -48,6 +48,13 @@ CC_MAX_ITERS = 25
 # counts) cost far more than collecting the edges once. Above the
 # threshold the distributed loop takes over unchanged.
 LOCAL_CC_MAX_EDGES = 100_000
+# same reasoning one level up: at or below this many DISTINCT surfaces the
+# WHOLE linking stage (signatures -> LSH buckets -> verify -> CC ->
+# canonical) runs driver-local over the collected surface rows — ~10 small
+# driver-scheduled Spark jobs collapse into one collect. Rules are
+# bit-identical to the distributed path (same hashing module, same caps,
+# same tie-breaks) — asserted by equality in tests/test_link.py.
+LOCAL_LINK_MAX_SURFACES = 100_000
 
 
 def normalize_surface(col: F.Column) -> F.Column:
@@ -367,16 +374,105 @@ def build_entities(surface_map: DataFrame) -> DataFrame:
     )
 
 
+def _link_surfaces_local(rows: list, tau: float, max_bucket: int) -> list[tuple]:
+    """Driver-local replay of candidate_pairs + connected_components +
+    canonicalize over collected surface rows (ent_type, norm, n_mentions,
+    top_surface). Same hashing module, same bucket cap, same two-signal
+    verification, same min-label components and canonical tie-breaks as
+    the distributed operators — returns surface_map tuples
+    (ent_type, norm, entity_id, canonical, n_mentions)."""
+    grams = {(r[0], r[1]): hashing.gram_codes(r[1]) for r in rows}
+    buckets: dict[tuple, list[str]] = {}
+    for et, nm, _n, _t in sorted(rows):
+        sig = hashing.minhash_signature(grams[(et, nm)])
+        for band in hashing.band_keys(sig):
+            buckets.setdefault((et, band), []).append(nm)
+    edges: dict[str, set] = {}
+    for (et, _band), members in buckets.items():
+        if len(members) > max_bucket:
+            continue  # size-capped bucket, dropped (candidate_pairs rule)
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for k in range(i + 1, len(ms)):
+                a, b = ms[i], ms[k]
+                if (a, b) in edges.get(et, set()):
+                    continue
+                j = hashing.jaccard(grams[(et, a)], grams[(et, b)])
+                if j >= tau and (
+                    j >= hashing.TAU_HI
+                    or hashing.levenshtein(a, b) <= hashing.LEV_MAX
+                ):
+                    edges.setdefault(et, set()).add((a, b))
+    # min-label union-find per ent_type
+    comp: dict[tuple, str] = {}
+    by_type: dict[str, list] = {}
+    for et, nm, n, t in rows:
+        by_type.setdefault(et, []).append((nm, n, t))
+    for et, members in by_type.items():
+        parent = {nm: nm for nm, _n, _t in members}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in sorted(edges.get(et, set())):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        for nm, _n, _t in members:
+            comp[(et, nm)] = find(nm)
+    # canonical per component: (-n_mentions, top_surface, norm) min
+    best: dict[tuple, tuple] = {}
+    for et, nm, n, t in rows:
+        key = (et, comp[(et, nm)])
+        cand = (-n, t, nm)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    return [
+        (et, nm, f"{et}:{comp[(et, nm)]}", best[(et, comp[(et, nm)])][1], n)
+        for et, nm, n, _t in rows
+    ]
+
+
 def link_entities(
     mentions: DataFrame,
     tau: float = JACCARD_TAU,
     max_bucket: int = MAX_BUCKET,
+    local_threshold: int = LOCAL_LINK_MAX_SURFACES,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full G pipeline: mentions -> (surface_map, entities)."""
+    """Full G pipeline: mentions -> (surface_map, entities).
+
+    Hybrid like connected_components: the distinct-surface table is counted
+    once (cached — the count is reused by whichever path runs); at or below
+    ``local_threshold`` surfaces the whole linking stage replays
+    driver-local in one collect, else the distributed LSH/CC operators run.
+    Distinct surfaces are the SMALL end of the pipeline by construction
+    (hub collapse), so the local path is the common case even at 10^12
+    turns unless entity diversity is extreme — and then the distributed
+    path is exactly what you want.
+    """
     surfaces = distinct_surfaces(mentions)
     surfaces.cache()
-    edges = candidate_pairs(surfaces, tau=tau, max_bucket=max_bucket)
-    components = connected_components(edges, surfaces.select("ent_type", "norm"))
-    surface_map = canonicalize(surfaces, components)
+    spark = mentions.sparkSession
+    if local_threshold > 0 and surfaces.count() <= local_threshold:
+        rows = [
+            (r["ent_type"], r["norm"], r["n_mentions"], r["top_surface"])
+            for r in surfaces.collect()
+        ]
+        sm_rows = _link_surfaces_local(rows, tau, max_bucket)
+        surface_map = spark.createDataFrame(
+            sm_rows,
+            "ent_type string, norm string, entity_id string, "
+            "canonical string, n_mentions long",
+        ).select("ent_type", "norm", "entity_id", "canonical", "n_mentions")
+    else:
+        edges = candidate_pairs(surfaces, tau=tau, max_bucket=max_bucket)
+        components = connected_components(
+            edges, surfaces.select("ent_type", "norm")
+        )
+        surface_map = canonicalize(surfaces, components)
     surface_map.cache()
     return surface_map, build_entities(surface_map)

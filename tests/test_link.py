@@ -150,3 +150,19 @@ class TestBulkMinhash:
         bulk = hashing.minhash_signatures_bulk(arrays, gram_budget=137)
         for a, b in zip(arrays, bulk):
             assert (hashing.minhash_signature(a) == b).all()
+
+
+class TestHybridLinking:
+    def test_local_and_distributed_surface_maps_identical(
+        self, spark, pipeline_out
+    ):
+        """The driver-local linking fast path must produce EXACTLY the
+        distributed path's surface map (same entity ids, canonicals,
+        counts) on the fixture corpus — typos, decoys, hubs and all."""
+        cfg = pipeline_out["cfg"]
+        mentions = cfg.table("mentions").load(spark)
+        local_sm, _ = link.link_entities(mentions, local_threshold=10**6)
+        dist_sm, _ = link.link_entities(mentions, local_threshold=0)
+        a = {tuple(r) for r in local_sm.collect()}
+        b = {tuple(r) for r in dist_sm.collect()}
+        assert a == b and a

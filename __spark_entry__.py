@@ -1578,9 +1578,7 @@ def _kg_triples_sql(sf_dir: str | None = None) -> str:
     _ensure_fixtures()
     import pyarrow.parquet as pq
 
-    from antnre_spark import hashing
     from antnre_spark.nnmodel import AntNREModel
-    from oracle.antnre_oracle import _union_find
 
     sf = sf_dir or _oracle_sf_dir()
     ev_ids = pq.read_table(f"{sf}/events.parquet", columns=["event_id"])
@@ -1594,7 +1592,11 @@ def _kg_triples_sql(sf_dir: str | None = None) -> str:
     def norm(s: str) -> str:
         return " ".join(s.strip().lower().split())
 
-    # distinct surfaces of the present corpus -> linking replay
+    # distinct surfaces of the present corpus -> linking replay via the
+    # SAME helper the engine's driver-local path uses (no duplicated
+    # LSH/verify/CC logic, no hardcoded caps to drift)
+    from antnre_spark import link
+
     surfaces: set[tuple[str, str]] = set()
     per_sentence: dict[int, tuple] = {}
     for pidx, (mentions, relations) in zip(present, results):
@@ -1602,30 +1604,16 @@ def _kg_triples_sql(sf_dir: str | None = None) -> str:
         toks = pool[pidx].split()
         for m in mentions:
             surfaces.add((m.ent_type, norm(" ".join(toks[m.begin : m.end]))))
-    grams = {key: hashing.gram_codes(key[1]) for key in surfaces}
-    buckets: dict[tuple[str, str], list[str]] = {}
-    for et, nm in sorted(surfaces):
-        for band in hashing.band_keys(hashing.minhash_signature(grams[(et, nm)])):
-            buckets.setdefault((et, band), []).append(nm)
-    edges: dict[str, list[tuple[str, str]]] = {}
-    for (et, _band), members in buckets.items():
-        if len(members) > 64:  # link.MAX_BUCKET rule
-            continue
-        ms = sorted(set(members))
-        for i in range(len(ms)):
-            for j_ in range(i + 1, len(ms)):
-                a, b = ms[i], ms[j_]
-                j = hashing.jaccard(grams[(et, a)], grams[(et, b)])
-                if j >= hashing.TAU_LO and (
-                    j >= hashing.TAU_HI
-                    or hashing.levenshtein(a, b) <= hashing.LEV_MAX
-                ):
-                    edges.setdefault(et, []).append((a, b))
-    ent_id: dict[tuple[str, str], str] = {}
-    for et in sorted({k[0] for k in surfaces}):
-        nodes = sorted(nm for (t, nm) in surfaces if t == et)
-        for nm, comp in _union_find(nodes, sorted(set(edges.get(et, [])))).items():
-            ent_id[(et, nm)] = f"{et}:{comp}"
+    # n_mentions/top_surface only pick canonicals, which triples don't use
+    sm_rows = link._link_surfaces_local(
+        [(et, nm, 1, nm) for et, nm in sorted(surfaces)],
+        tau=link.JACCARD_TAU,
+        max_bucket=link.MAX_BUCKET,
+    )
+    ent_id = {(et, nm): eid for et, nm, eid, _canon, _n in sm_rows}
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
 
     rows = []
     for pidx in present:
@@ -1636,7 +1624,8 @@ def _kg_triples_sql(sf_dir: str | None = None) -> str:
             subj = ent_id[(sm.ent_type, norm(" ".join(toks[sm.begin : sm.end])))]
             obj = ent_id[(om.ent_type, norm(" ".join(toks[om.begin : om.end])))]
             rows.append(
-                f"({pidx}, '{subj}', '{r.pred}', '{obj}', '{r.conf!r}'::DOUBLE)"
+                f"({pidx}, '{q(subj)}', '{q(r.pred)}', '{q(obj)}', "
+                f"'{r.conf!r}'::DOUBLE)"
             )
     values = ",\n".join(rows)
     return f"""
@@ -1725,18 +1714,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # the two vector oracles embed plane weights for the oracle sf's
-    # embedding dim; if that parquet is absent, degrade those two entries
-    # to rows-only instead of failing every query
-    try:
-        vector_oracles = {
-            "dd_cosine_lsh": _cosine_lsh_sql(),
-            "ss_bucketed_topk": _ss_bucketed_sql(),
-        }
-    except OSError:
-        vector_oracles = {}
+    # these oracles read the oracle sf's parquet at build time (embedding
+    # dim for the plane-weight literals; event ids for the pool-presence
+    # set); if that data is absent, degrade JUST those entries to
+    # rows-only instead of failing every query
+    data_dependent = {}
+    for name, builder in (
+        ("dd_cosine_lsh", _cosine_lsh_sql),
+        ("ss_bucketed_topk", _ss_bucketed_sql),
+        ("kg_triples", _kg_triples_sql),
+    ):
+        try:
+            data_dependent[name] = builder()
+        except OSError:
+            pass
     return {
-        **vector_oracles,
+        **data_dependent,
         "a1_scan_filter": SQL_A1,
         "b2_normalize": SQL_B2,
         "c1_ordered_assembly": SQL_C1,
@@ -1784,5 +1777,4 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_stats": SQL_MM_STATS,
         "mm_features": SQL_MM_FEATURES,
         "kg_extract_mentions": _kg_mentions_sql(),
-        "kg_triples": _kg_triples_sql(),
     }

@@ -140,12 +140,17 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     The probe is ``df.inputFiles()`` (pure metadata — listing the plan's
     leaf files), NOT ``df.rdd.getNumPartitions()``: under AQE, touching
     .rdd finalizes the adaptive plan and eagerly EXECUTES every upstream
-    shuffle stage, which a later action then re-runs from scratch."""
+    shuffle stage, which a later action then re-runs from scratch.
+
+    Non-file sources (createDataFrame, post-shuffle, JDBC) report zero
+    files; there the partitioning is unknowable without executing, so we
+    repartition defensively — one bounded exchange beats one-core UDF
+    starvation, and the no-shuffle guarantee only matters for the
+    file-backed 100 TB scan case, which IS detectable."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 _BANDS_T = ArrayType(StringType(), False)
@@ -382,8 +387,13 @@ def cosine_bucket_stats(
     from antnre_spark.simsearch import hyperplane_bucket
 
     planes = hashing.plane_weights(dim or _infer_vec_dim(df, vec_col), n_planes)
+    v = F.col(vec_col)
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     sizes = (
-        df.select(hyperplane_bucket(F.col(vec_col), planes).alias("bkt"))
+        # same population the operator buckets: zero-norm vectors are
+        # excluded there too, so the stats describe the actual job
+        df.filter(nrm > 0)
+        .select(hyperplane_bucket(v, planes).alias("bkt"))
         .groupBy("bkt")
         .agg(F.count("*").alias("n"))
     )

@@ -1391,6 +1391,82 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ss_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k (the data-DEPENDENT scale path, complementing the
+    hyperplane-LSH index): seeded k-means coarse quantizer over a
+    deterministic sample, cell assignment JVM-side from centroid literals,
+    nprobe-cell pruning, exact cosine rank. FULLY oracle-checked: DuckDB
+    recomputes the identical cells from the same centroid literals (shared
+    numpy k-means core) and the same probe set."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.simsearch import ivf_index, ivf_topk, kmeans_centroids
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = kmeans_centroids(e)
+    return ivf_topk(ivf_index(e, cents), _query_vec(sf_dir), cents, k=10, nprobe=2)
+
+
+def _ss_ivf_sql(sf_dir: str | None = None, n_centroids: int = 16, nprobe: int = 2) -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from antnre_spark.simsearch import kmeans_from_points
+
+    sf = sf_dir or _oracle_sf_dir()
+    t = (
+        pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(256)
+    )
+    X = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
+    cents = kmeans_from_points(X, n_centroids)
+
+    # same probe computation as simsearch.ivf_topk (python, literal-driven)
+    qv = _query_vec(sf)
+    vv_q = sum(x * x for x in qv)
+    probe_d = []
+    for ci, c in enumerate(cents):
+        dot = sum(x * w for x, w in zip(qv, c))
+        cc = sum(x * x for x in c)
+        probe_d.append((vv_q - 2 * dot + cc, ci + 1))
+    probes = ", ".join(str(cell) for _d, cell in sorted(probe_d)[:nprobe])
+
+    # per-centroid squared distance via ||v||^2 - 2 v.c + ||c||^2; the cc
+    # constants need >15 significant digits -> STRING->DOUBLE cast (a bare
+    # numeric literal parses as DECIMAL and rounds the last ulp)
+    dists = []
+    for c in cents:
+        arr = "[" + ", ".join(repr(x) for x in c) + "]"
+        cc = float(sum(x * x for x in c))
+        dists.append(
+            f"list_sum(list_transform(v, x -> x*x)) - "
+            f"2*list_dot_product(v, {arr}) + '{cc!r}'::DOUBLE"
+        )
+    dist_list = "[" + ",\n ".join(dists) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+a AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         list_indexof({dist_list},
+                      list_aggregate({dist_list}, 'min')) AS cell
+  FROM e),
+q AS (SELECT v AS qv, nrm AS qn FROM a WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv) / (nrm * qn), 6) AS cosine
+FROM a, q
+WHERE cell IN ({probes})
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 # ---- multimodal ---------------------------------------------------------
 
 def q_mm_media_stats(spark, sf_dir):
@@ -1705,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cosine_lsh": q_dd_cosine_lsh,
         "ss_topk_cosine": q_ss_topk_cosine,
         "ss_bucketed_topk": q_ss_bucketed_topk,
+        "ss_ivf_topk": q_ss_ivf_topk,
         "mm_media_stats": q_mm_media_stats,
         "mm_features": q_mm_features,
         "kg_extract_mentions": q_kg_extract_mentions,
@@ -1722,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
     for name, builder in (
         ("dd_cosine_lsh", _cosine_lsh_sql),
         ("ss_bucketed_topk", _ss_bucketed_sql),
+        ("ss_ivf_topk", _ss_ivf_sql),
         ("kg_triples", _kg_triples_sql),
     ):
         try:

@@ -107,6 +107,131 @@ def bucketed_index(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """IVF coarse quantizer: seeded Lloyd k-means over a DETERMINISTIC
+    sample (first sample_size rows by id — reproducible across runs and
+    partitionings, unlike df.sample). Centroids come back as plain floats
+    rounded to 6 decimals so the SAME literals drive assignment in Spark,
+    DuckDB, and the python probe computation. Driver-side numpy: the
+    sample is bounded, the index assignment below is the distributed part.
+    """
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return kmeans_from_points(X, n_centroids, iters, seed)
+
+
+def kmeans_from_points(
+    X, n_centroids: int = 16, iters: int = 10, seed: int = 42
+) -> list[list[float]]:
+    """numpy Lloyd core (no Spark) — shared by kmeans_centroids and the
+    DuckDB oracle builder so both derive bit-identical centroids from the
+    same sample."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError(f"sample ({len(X)}) smaller than n_centroids")
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # [n, K]
+        assign = d.argmin(axis=1)
+        for k in range(n_centroids):
+            members = X[assign == k]
+            if len(members):
+                C[k] = members.mean(axis=0)
+    return [[round(float(x), 6) for x in c] for c in C]
+
+
+def _sq_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances to each centroid via
+    ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 — the exact formula the DuckDB
+    oracle uses (list_sum/list_dot_product), so the argmin cell assignment
+    is bit-identical across engines."""
+    vv = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    dists = []
+    for c in centroids:
+        cc = float(sum(x * x for x in c))
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        dists.append(vv - 2 * dot + F.lit(cc))
+    return F.array(*dists)
+
+
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based index of the nearest centroid (ties -> lowest index, the
+    first-position rule both engines share)."""
+    d = _sq_dists(vec, centroids)
+    return F.array_position(d, F.array_min(d)).cast("int")
+
+
+def ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materializable IVF index: (cell, id, vec, norm). Write partitioned
+    by cell; a query prunes to nprobe cells. Complements the hyperplane-LSH
+    index: IVF cells adapt to the data distribution (k-means), LSH buckets
+    are data-independent — at 100 TB you pick per corpus shape."""
+    v = F.col(vec_col)
+    return df.select(
+        ivf_cell(v, centroids).alias("cell"),
+        F.col(id_col),
+        v.alias(vec_col),
+        _norm(v).alias("norm"),
+    )
+
+
+def ivf_topk(
+    index: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: scan only the nprobe cells nearest the query (probe
+    set computed driver-side from the same centroid literals) and rank by
+    exact cosine."""
+    import math
+
+    qv = [float(x) for x in query]
+    vv = sum(x * x for x in qv)
+    dists = []
+    for ci, c in enumerate(centroids):
+        dot = sum(x * w for x, w in zip(qv, c))
+        cc = sum(x * x for x in c)
+        dists.append((vv - 2 * dot + cc, ci + 1))
+    probes = [cell for _d, cell in sorted(dists)[:nprobe]]
+
+    qn = math.sqrt(vv) or 1.0
+    cand = index.filter(F.col("cell").isin(probes))
+    cos = _dot_with_lit(F.col(vec_col), qv) / (F.col("norm") * F.lit(qn))
+    return (
+        cand.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def bucketed_topk(
     index: DataFrame,
     query: list[float],

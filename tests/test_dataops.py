@@ -281,3 +281,37 @@ class TestCosineBucketStats:
         assert r["dropped_frac"] == 1.0  # one 100-row bucket, cap 16
         r2 = cosine_bucket_stats(df, n_planes=4, max_bucket=128).collect()[0]
         assert r2["dropped_frac"] == 0.0
+
+
+class TestIVF:
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(40):
+            base = [1.0, 0, 0, 0] if i % 2 == 0 else [0, 1.0, 0, 0]
+            v = np.array(base) + rng.normal(0, 0.05, 4)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def test_ivf_finds_true_nearest(self, clustered):
+        cents = simsearch.kmeans_centroids(clustered, n_centroids=4, sample_size=40)
+        idx = simsearch.ivf_index(clustered, cents)
+        got = [
+            r["vec_id"]
+            for r in simsearch.ivf_topk(
+                idx, [1.0, 0.0, 0.0, 0.0], cents, k=3, nprobe=1
+            ).collect()
+        ]
+        exact = [
+            r["vec_id"]
+            for r in simsearch.cosine_topk(clustered, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+        ]
+        assert got[0] == exact[0]  # the true nearest shares the query's cell
+
+    def test_kmeans_deterministic(self, clustered):
+        a = simsearch.kmeans_centroids(clustered, n_centroids=4, sample_size=40)
+        b = simsearch.kmeans_centroids(clustered, n_centroids=4, sample_size=40)
+        assert a == b

@@ -25,9 +25,21 @@ Modules map to SURVEY.md §2 operator families:
   icelite      IcebergLite snapshot/manifest table layer (§7.4)
   metrics      _markers lineage / completion-marker table (§3.3)
   pipeline     end-to-end jobs with per-partition resume
-  textops      language-ID, quality scoring, token counts, fingerprints
-  dedup        exact / MinHash-LSH / SimHash / n-gram-Jaccard document dedup
-  simsearch    brute-force + LSH-bucketed cosine top-k over embeddings
+  textops      language-ID, quality scoring, whitespace + BPE-ish token
+               counts, fingerprints
+  dedup        exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+               cosine-LSH document dedup (+ bucket-stats pre-flight)
+  curate       deterministic sampling, per-source quotas, dup-cluster
+               keeper selection
+  simsearch    brute-force + LSH-bucketed + IVF (seeded k-means) cosine
+               top-k over embeddings
+  streaming    foreachBatch extraction (idempotent per-batch overwrite),
+               watermarked session windows
+  multimodal   binary media columns: byte-capped decode batches, frame
+               plans (codec kernels stubbed deterministically)
+  evaluate     CoNLL04-style P/R/F1 vs the golden oracle tables
+  sources      CoNLL04-format corpus reader/writer
+  hashing      shared deterministic MinHash/gram primitives (no pyspark)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

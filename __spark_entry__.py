@@ -76,6 +76,33 @@ def _template_pool(n: int = 512) -> list[str]:
     return pool
 
 
+_POOL_RESULTS: dict[bool, list] = {}
+
+
+def _pool_extract(refine: bool = False) -> list:
+    """Memoized nnmodel forward over the full 512-sentence template pool.
+
+    Every oracle builder (_kg_mentions_sql, _kg_triples_sql,
+    _kg_refined_sql) shares this, so the model forward runs at most once
+    per refine flag per process no matter how many times the driver calls
+    oracle_sql(). Safe because extraction is batch-invariant (pytest
+    property: per-sentence results are independent of batch composition),
+    so full-pool results subset to any present-index set."""
+    if refine not in _POOL_RESULTS:
+        _ensure_fixtures()
+        from antnre_spark.nnmodel import AntNREModel
+
+        pool = _template_pool()
+        model = AntNREModel.from_files(
+            os.path.join(FIXDIR, "weights.npz"),
+            os.path.join(FIXDIR, "vocab.json"),
+        )
+        _POOL_RESULTS[refine] = model.extract(
+            [s.split() for s in pool], refine_types=refine
+        )
+    return _POOL_RESULTS[refine]
+
+
 def synth_transcripts(
     spark: SparkSession, sf_dir: str, mult: int | None = None
 ) -> DataFrame:
@@ -566,30 +593,29 @@ ORDER BY total_qty DESC, l_partkey ASC LIMIT 10
 
 # ---- I: join kinds ------------------------------------------------------
 
-def q_i_semi_join(spark, sf_dir):
+def q_i_semi_anti_join(spark, sf_dir):
+    """SURVEY.md §2 I.semi + I.anti in one demo (merged r3 to keep the
+    driver's query list <= 50 entries — see SURVEY §4 note): the union of
+    a left_semi and a left_anti join on the same key, tagged by kind.
+    Both join strategies still appear in the physical plan."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_semi"
-    ).select("c_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("kind"), "c_custkey")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("kind"), "c_custkey")
+    )
+    return semi.unionAll(anti)
 
 
-SQL_I_SEMI = """
-SELECT c_custkey FROM customer
+SQL_I_SEMI_ANTI = """
+SELECT 'semi' AS kind, c_custkey FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-"""
-
-
-def q_i_anti_join(spark, sf_dir):
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_anti"
-    ).select("c_custkey")
-
-
-SQL_I_ANTI = """
-SELECT c_custkey FROM customer
+UNION ALL
+SELECT 'anti' AS kind, c_custkey FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
@@ -728,28 +754,13 @@ FROM events GROUP BY 1
 """
 
 
-def q_k_json(spark, sf_dir):
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        _ev(spark, sf_dir)
-        .select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.max("k").alias("max_k"))
-    )
-
-
-SQL_K_JSON = """
-SELECT event_type, round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
-       max(json_extract_string(props, '$.k')::INT) AS max_k
-FROM events GROUP BY event_type
-"""
-
-
-def q_k_map_funcs(spark, sf_dir):
-    """Map/JSON family closure (SURVEY.md §2.K): from_json -> map,
-    map_entries -> transform -> map_from_entries (value rewrite), map_keys,
-    element_at. The DuckDB twin reads the same facts straight from the
-    JSON (json_keys / json_extract_string)."""
+def q_k_json_map(spark, sf_dir):
+    """Map/JSON family closure (SURVEY.md §2 K.map/json, merged r3 from
+    the former k_json + k_map_funcs demos — same functions, one row):
+    get_json_object, from_json -> map, map_entries -> transform ->
+    map_from_entries (value rewrite), map_keys, element_at. The DuckDB
+    twin reads the same facts straight from the JSON (json_keys /
+    json_extract_string)."""
     ev = _ev(spark, sf_dir).withColumn(
         "m", F.from_json("props", "map<string,int>")
     )
@@ -763,14 +774,16 @@ def q_k_map_funcs(spark, sf_dir):
     )
     return ev.select(
         "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
         F.size("m").alias("n_keys"),
         F.concat_ws(",", F.map_keys("m")).alias("keys"),
         F.element_at(doubled, "k").alias("k2"),
     )
 
 
-SQL_K_MAP = """
+SQL_K_JSON_MAP = """
 SELECT event_id,
+       json_extract_string(props, '$.k')::INT AS k,
        len(json_keys(props))::INT AS n_keys,
        array_to_string(json_keys(props), ',') AS keys,
        json_extract_string(props, '$.k')::INT * 2 AS k2
@@ -779,22 +792,36 @@ FROM events
 
 
 def q_k_array_funcs(spark, sf_dir):
+    """Array family closure (SURVEY.md §2 K.array, merged r3 from the
+    former k_array_funcs + k_nested_arrays demos): size / aggregate /
+    array_max plus flatten / slice / zip_with over nested arrays."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nested = F.array(F.slice(v, 1, 2), F.slice(v, 3, 2))
+    flat = F.flatten(nested)
+    pairwise = F.zip_with(F.slice(v, 1, 4), flat, lambda a, b: a * b)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(l2, 4).alias("l2"),
         F.round(F.array_max(v), 4).alias("max_val"),
+        F.size(flat).alias("n_flat"),
+        F.round(
+            F.aggregate(pairwise, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("dot4"),
     )
 
 
 SQL_K_ARRAY = """
 SELECT vec_id, len(embedding) AS dim,
        round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS l2,
-       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS max_val
-FROM embeddings
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS max_val,
+       len(flatten([e4[1:2], e4[3:4]])) AS n_flat,
+       round(list_sum(list_transform(e4, x -> x * x)), 6) AS dot4
+FROM (SELECT vec_id, embedding,
+             list_transform(embedding[1:4], x -> x::DOUBLE) AS e4
+      FROM embeddings)
 """
 
 
@@ -818,34 +845,6 @@ SELECT n_nationkey,
        round(ln(n_nationkey + 2), 6) AS ln_k,
        round(exp(n_regionkey / 10.0), 6) AS exp_r
 FROM nation
-"""
-
-
-def q_k_nested_arrays(spark, sf_dir):
-    """flatten / slice / zip_with over nested arrays (SURVEY.md §2.K)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    nested = F.array(F.slice(v, 1, 2), F.slice(v, 3, 2))
-    flat = F.flatten(nested)
-    pairwise = F.zip_with(
-        F.slice(v, 1, 4), flat, lambda a, b: a * b
-    )
-    return e.select(
-        "vec_id",
-        F.size(flat).alias("n_flat"),
-        F.round(F.aggregate(pairwise, F.lit(0.0), lambda acc, x: acc + x), 6).alias(
-            "dot4"
-        ),
-    )
-
-
-SQL_K_NESTED = """
-SELECT vec_id,
-       len(flatten([e4[1:2], e4[3:4]])) AS n_flat,
-       round(list_sum(list_transform(e4, x -> x * x)), 6) AS dot4
-FROM (SELECT vec_id,
-             list_transform(embedding[1:4], x -> x::DOUBLE) AS e4
-      FROM embeddings)
 """
 
 
@@ -1533,10 +1532,12 @@ FROM documents WHERE doc_id < 100
 
 # ---- KG pipeline (model-driven, rows-only) ------------------------------
 
-def q_kg_extract_mentions(spark, sf_dir):
-    """Mention extraction (BiLSTM-CRF mapInPandas) on transcripts
-    synthesized from this sf's events — not SQL-expressible (numpy model),
-    rows-only."""
+def _extract_mentions_df(spark, sf_dir, refine: bool = False):
+    """Shared body of the two extraction demos: mention extraction
+    (BiLSTM-CRF mapInPandas; refine=True adds the F4 GCN joint
+    type-refinement pass inside the same Arrow batch) on transcripts
+    synthesized from this sf's events. FULL value oracle via the
+    template-pool lookup (_kg_mentions_sql)."""
     import sys
 
     sys.path.insert(0, REPO)
@@ -1557,12 +1558,30 @@ def q_kg_extract_mentions(spark, sf_dir):
     return extract.explode_mentions(
         extract.extract_sentences(
             sentences, weights_bc, vocab_bc, model_key=model_key,
+            refine_types=refine,
             repartition_to=10 * spark.sparkContext.defaultParallelism,
         )
     )
 
 
-def _kg_mentions_sql() -> str:
+def q_kg_extract_mentions(spark, sf_dir):
+    return _extract_mentions_df(spark, sf_dir, refine=False)
+
+
+def q_kg_refined_mentions(spark, sf_dir):
+    """F4 driver demo (SURVEY.md §2.F4): extraction WITH the GCN joint
+    type-refinement pass on. The oracle replays the identical refinement
+    in-process (_kg_mentions_sql(refine=True)); with the fixture weights
+    the GCN's KEEP_MARGIN means refined == decoded types on the natural
+    template pool (documented design — nnmodel.py:390), and type flips
+    are covered by the crafted-weight pytest (tests/test_nnmodel.py).
+    What this row witnesses is the refined PATH: the distributed
+    refine_types=True plumbing is value-equal to the same-refined
+    in-process model."""
+    return _extract_mentions_df(spark, sf_dir, refine=True)
+
+
+def _kg_mentions_sql(refine: bool = False) -> str:
     """FULL value-equality oracle for the model extraction path.
 
     The synthetic transcripts draw their text from the deterministic
@@ -1574,15 +1593,12 @@ def _kg_mentions_sql() -> str:
     value equality verifies the ENTIRE distributed plumbing (assembly
     dedup, role filter, segmentation, Arrow batching, mention explode,
     mention_id minting) around the model, with the model itself pinned by
-    the same-process forward pass (the parity criterion's shape)."""
-    _ensure_fixtures()
-    from antnre_spark.nnmodel import AntNREModel
+    the same-process forward pass (the parity criterion's shape).
 
+    ``refine`` builds the same oracle from the F4 GCN-refined results —
+    the twin for q_kg_refined_mentions."""
     pool = _template_pool()
-    model = AntNREModel.from_files(
-        os.path.join(FIXDIR, "weights.npz"), os.path.join(FIXDIR, "vocab.json")
-    )
-    results = model.extract([s.split() for s in pool])
+    results = _pool_extract(refine)
     rows = []
     for idx, ((mentions, _rels), s) in enumerate(zip(results, pool)):
         toks = s.split()
@@ -1651,19 +1667,14 @@ def _kg_triples_sql(sf_dir: str | None = None) -> str:
       capped sorted provenance — reconstructed in SQL from a VALUES lookup
       of resolved per-pool-sentence relations joined to events.
     """
-    _ensure_fixtures()
     import pyarrow.parquet as pq
-
-    from antnre_spark.nnmodel import AntNREModel
 
     sf = sf_dir or _oracle_sf_dir()
     ev_ids = pq.read_table(f"{sf}/events.parquet", columns=["event_id"])
     present = sorted({int(e) % 512 for e in ev_ids["event_id"].to_pylist()})
     pool = _template_pool()
-    model = AntNREModel.from_files(
-        os.path.join(FIXDIR, "weights.npz"), os.path.join(FIXDIR, "vocab.json")
-    )
-    results = model.extract([pool[i].split() for i in present])
+    all_results = _pool_extract()  # memoized full-pool forward
+    results = [all_results[i] for i in present]
 
     def norm(s: str) -> str:
         return " ".join(s.strip().lower().split())
@@ -1734,7 +1745,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import sys
 
     sys.path.insert(0, REPO)
+    # NOTE the ordering: the round-2 driver artifact recorded exactly the
+    # FIRST 50 dict entries (51st silently absent), so the flagship rows
+    # lead and the total stays <= 50 (same-§2-row micro demos were merged
+    # r3: i_semi+i_anti, k_json+k_map, k_array+k_nested).
     base = {
+        "kg_triples": q_kg_triples,
+        "kg_extract_mentions": q_kg_extract_mentions,
+        "kg_refined_mentions": q_kg_refined_mentions,
         "a1_scan_filter": q_a1_scan_filter,
         "b2_normalize": q_b2_normalize,
         "c1_ordered_assembly": q_c1_ordered_assembly,
@@ -1753,18 +1771,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_union_distinct": q_h3_union_distinct,
         "h4_distinct_count": q_h4_distinct_count,
         "h5_topk": q_h5_topk,
-        "i_semi_join": q_i_semi_join,
-        "i_anti_join": q_i_anti_join,
+        "i_semi_anti_join": q_i_semi_anti_join,
         "i_broadcast_join": q_i_broadcast_join,
         "i_asof_join": q_i_asof_join,
         "h_rollup": q_h_rollup,
         "k_string_funcs": q_k_string_funcs,
         "k_datetime": q_k_datetime,
-        "k_json": q_k_json,
-        "k_map_funcs": q_k_map_funcs,
+        "k_json_map": q_k_json_map,
         "k_array_funcs": q_k_array_funcs,
         "k_math_funcs": q_k_math_funcs,
-        "k_nested_arrays": q_k_nested_arrays,
         "d1_sentence_count": q_d1_sentence_count,
         "t_langid": q_t_langid,
         "t_quality": q_t_quality,
@@ -1784,30 +1799,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss_ivf_topk": q_ss_ivf_topk,
         "mm_media_stats": q_mm_media_stats,
         "mm_features": q_mm_features,
-        "kg_extract_mentions": q_kg_extract_mentions,
-        "kg_triples": q_kg_triples,
     }
     return base
 
 
 def oracle_sql() -> dict[str, str]:
+    import sys as _sys
+
     # these oracles read the oracle sf's parquet at build time (embedding
     # dim for the plane-weight literals; event ids for the pool-presence
     # set); if that data is absent, degrade JUST those entries to
-    # rows-only instead of failing every query
+    # rows-only instead of failing every query — and say so LOUDLY on
+    # stderr (the r2 driver artifact taught us silent degrades are
+    # indistinguishable from missing coverage)
     data_dependent = {}
     for name, builder in (
+        ("kg_triples", _kg_triples_sql),
         ("dd_cosine_lsh", _cosine_lsh_sql),
         ("ss_bucketed_topk", _ss_bucketed_sql),
         ("ss_ivf_topk", _ss_ivf_sql),
-        ("kg_triples", _kg_triples_sql),
     ):
         try:
             data_dependent[name] = builder()
-        except OSError:
-            pass
+        except OSError as e:
+            print(
+                f"[oracle_sql] WARNING: oracle for {name!r} degraded to "
+                f"rows-only (data-dependent build failed: {e!r})",
+                file=_sys.stderr,
+                flush=True,
+            )
     return {
         **data_dependent,
+        "kg_extract_mentions": _kg_mentions_sql(),
+        "kg_refined_mentions": _kg_mentions_sql(refine=True),
         "a1_scan_filter": SQL_A1,
         "b2_normalize": SQL_B2,
         "c1_ordered_assembly": SQL_C1,
@@ -1826,18 +1850,15 @@ def oracle_sql() -> dict[str, str]:
         "h3_union_distinct": SQL_H3,
         "h4_distinct_count": SQL_H4,
         "h5_topk": SQL_H5,
-        "i_semi_join": SQL_I_SEMI,
-        "i_anti_join": SQL_I_ANTI,
+        "i_semi_anti_join": SQL_I_SEMI_ANTI,
         "i_broadcast_join": SQL_I_BROADCAST,
         "i_asof_join": SQL_I_ASOF,
         "h_rollup": SQL_H_ROLLUP,
         "k_string_funcs": SQL_K_STRING,
         "k_datetime": SQL_K_DATETIME,
-        "k_json": SQL_K_JSON,
-        "k_map_funcs": SQL_K_MAP,
+        "k_json_map": SQL_K_JSON_MAP,
         "k_array_funcs": SQL_K_ARRAY,
         "k_math_funcs": SQL_K_MATH,
-        "k_nested_arrays": SQL_K_NESTED,
         "d1_sentence_count": SQL_D1,
         "t_langid": _langid_sql(),
         "t_quality": _quality_sql(),
@@ -1854,5 +1875,4 @@ def oracle_sql() -> dict[str, str]:
         "ss_topk_cosine": SQL_SS_TOPK,
         "mm_media_stats": SQL_MM_STATS,
         "mm_features": SQL_MM_FEATURES,
-        "kg_extract_mentions": _kg_mentions_sql(),
     }

@@ -49,11 +49,21 @@ def per_source_quota(
     quota: int,
     source_col: str = "source",
     order_col: str = "doc_id",
+    tie_col: str = "doc_id",
 ) -> DataFrame:
     """At most ``quota`` rows per source, keeping the first by a total
     deterministic order — the standard anti-domination step before corpus
-    mixing (one hot source cannot flood the training mix)."""
-    w = Window.partitionBy(source_col).orderBy(F.col(order_col).asc())
+    mixing (one hot source cannot flood the training mix).
+
+    ``tie_col`` breaks ties when ``order_col`` is not unique within a
+    source: row_number over a non-unique ordering would otherwise keep a
+    run/partitioning-dependent subset, violating the module's determinism
+    contract. Pass a unique id column; defaults keep the (order_col ==
+    tie_col == doc_id) behavior, which is total on its own."""
+    order = [F.col(order_col).asc()]
+    if tie_col != order_col:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(source_col).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= quota)

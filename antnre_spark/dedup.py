@@ -17,6 +17,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -146,11 +148,45 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     files; there the partitioning is unknowable without executing, so we
     repartition defensively — one bounded exchange beats one-core UDF
     starvation, and the no-shuffle guarantee only matters for the
-    file-backed 100 TB scan case, which IS detectable."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= target:
-        return df
+    file-backed 100 TB scan case, which IS detectable.
+
+    File COUNT alone is the wrong proxy (a few large splittable parquet
+    files already scan as many partitions via maxPartitionBytes), so the
+    estimate is sum(ceil(size / maxPartitionBytes)) over the leaf files
+    when their sizes are statable (local file: URIs — the sandbox case);
+    unstatable schemes conservatively count 1 split per file."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df.repartition(target)
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    splits = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            size = os.path.getsize(path)
+            splits += max(1, -(-size // max_bytes))
+        except OSError:
+            splits += 1  # remote/unstatable: assume unsplittable
+        if splits >= target:
+            return df
     return df.repartition(target)
+
+
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark size-string ('128m', '134217728b', '134217728') -> bytes."""
+    s = s.strip().lower()
+    mult = 1
+    if s and s[-1] in _SIZE_SUFFIX:
+        mult = _SIZE_SUFFIX[s[-1]]
+        s = s[:-1]
+    return max(1, int(s) * mult)
 
 
 _BANDS_T = ArrayType(StringType(), False)

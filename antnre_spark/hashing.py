@@ -72,7 +72,12 @@ def minhash_signatures_bulk(
     n = len(code_arrays)
     out = np.empty((n, MINHASH_K), dtype=np.int64)
     lens = np.fromiter((len(a) for a in code_arrays), dtype=np.int64, count=n)
-    assert (lens > 0).all(), "minhash over an empty gram set is undefined"
+    if not (lens > 0).all():
+        # a bare assert would be stripped under python -O, and an empty
+        # code array silently corrupts the reduceat segment boundaries
+        # (duplicate starts return vals[start] for the WRONG doc) — fail
+        # loud instead, matching the empty-gram fallback contract above
+        raise ValueError("minhash over an empty gram set is undefined")
     i = 0
     while i < n:
         j, total = i, 0

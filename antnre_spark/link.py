@@ -382,9 +382,16 @@ def _link_surfaces_local(rows: list, tau: float, max_bucket: int) -> list[tuple]
     the distributed operators — returns surface_map tuples
     (ent_type, norm, entity_id, canonical, n_mentions)."""
     grams = {(r[0], r[1]): hashing.gram_codes(r[1]) for r in rows}
+    # bulk-sign all surfaces in ONE matrix op — the same
+    # minhash_signatures_bulk the distributed _sign_udf uses (per-doc
+    # minhash_signature in a Python loop costs avoidable driver seconds
+    # near the 100k-surface local/distributed cutover)
+    ordered = sorted(rows)
+    sigs = hashing.minhash_signatures_bulk(
+        [grams[(r[0], r[1])] for r in ordered]
+    )
     buckets: dict[tuple, list[str]] = {}
-    for et, nm, _n, _t in sorted(rows):
-        sig = hashing.minhash_signature(grams[(et, nm)])
+    for (et, nm, _n, _t), sig in zip(ordered, sigs):
         for band in hashing.band_keys(sig):
             buckets.setdefault((et, band), []).append(nm)
     edges: dict[str, set] = {}
@@ -453,6 +460,13 @@ def link_entities(
     (hub collapse), so the local path is the common case even at 10^12
     turns unless entity diversity is extreme — and then the distributed
     path is exactly what you want.
+
+    Cache ownership: ``surfaces`` is cached and unpersisted HERE (the
+    returned plans never reference it — surface_map is either built from
+    driver rows or forced below before the unpersist). ``surface_map`` is
+    returned CACHED (the triple resolution joins and build_entities both
+    read it); the caller that runs the final actions unpersists it
+    (pipeline.link_job does).
     """
     surfaces = distinct_surfaces(mentions)
     surfaces.cache()
@@ -475,4 +489,9 @@ def link_entities(
         )
         surface_map = canonicalize(surfaces, components)
     surface_map.cache()
+    # force surface_map (small by construction) so surfaces' cache can be
+    # dropped now: nothing downstream re-reads it, and leaving it pinned
+    # leaks executor memory across calls in a long-lived session
+    surface_map.count()
+    surfaces.unpersist()
     return surface_map, build_entities(surface_map)

@@ -186,6 +186,9 @@ def link_job(spark: SparkSession, cfg: PipelineConfig) -> dict:
         triple_count=n_triples,
         model_hash=cfg.model_hash,
     )
+    # cache ownership (link.link_entities contract): all actions that read
+    # surface_map have run — release it so session-reuse doesn't leak
+    surface_map.unpersist()
     return {"triples": n_triples, "per_pred": metrics_rows}
 
 

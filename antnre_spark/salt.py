@@ -5,13 +5,14 @@ The salt MUST vary WITHIN a key — a salt derived from the group/join key
 itself is a constant per key value and spreads nothing (every row of a hot
 key still lands on one reducer). So the salt here is derived from per-ROW
 entropy: a caller-supplied row-unique column when one exists (mention_id,
-event_id, ...) for a fully deterministic plan, else
-``monotonically_increasing_id()``. Any row->salt assignment yields the
-identical final result (the salt only spreads rows; the de-salt merge is
-exact for decomposable aggregates), so the mono-id fallback's dependence on
-partition layout is harmless — asserted by the salt-invariance property
-(SURVEY.md §5.2.4) plus the spread test in tests/test_salt.py, which plants
-a hot key and requires >1 partial-agg group / >1 join task for it.
+event_id, ...) for a fully deterministic plan, else a hash of the row's
+own column values — stable under task retry/stage recomputation, which
+monotonically_increasing_id() is not (see salt_col). Any row->salt
+assignment yields the identical final result (the salt only spreads rows;
+the de-salt merge is exact for decomposable aggregates) — asserted by the
+salt-invariance property (SURVEY.md §5.2.4) plus the spread test in
+tests/test_salt.py, which plants a hot key and requires >1 partial-agg
+group / >1 join task for it.
 
 Two shapes:
 - salted_agg: two-level aggregation — partial agg on (key, salt) spreads a
@@ -33,17 +34,36 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
-def salt_col(n_salts: int = DEFAULT_SALTS, row_key: Column | None = None) -> Column:
+def salt_col(
+    n_salts: int = DEFAULT_SALTS,
+    row_key: Column | None = None,
+    content_cols: Sequence[str] | None = None,
+) -> Column:
     """Per-ROW salt in [0, n_salts).
 
-    ``row_key``: a row-unique column (deterministic salt — preferred when
-    the table has a natural id). Default: monotonically_increasing_id(),
-    unique within the job; the salt assignment is then partition-layout
-    dependent, which is correct-by-construction here because the result of
-    a salted agg/join is invariant to WHICH salt a row gets.
+    ``row_key``: a row-unique column (preferred when the table has a
+    natural id — fully deterministic and maximally spreading).
+
+    ``content_cols``: fall back to a hash of the row's OWN column values.
+    This is the production default inside salted_agg/salted_join: unlike
+    monotonically_increasing_id(), a content hash is stable under task
+    retry / stage recomputation — on a real cluster a fetch failure
+    recomputes map partitions, and a salt that depends on partition layout
+    would let rows migrate between reducers mid-shuffle and be
+    double-counted or lost (the hazard class Spark special-cases only for
+    round-robin repartition, SPARK-23207). Exact-duplicate rows share a
+    salt under a content hash, which only costs spread, never correctness.
+
+    Bare ``salt_col(n)`` (neither arg) keeps the mono-id fallback for
+    local experiments; do not feed it to a shuffle on a real cluster.
     """
-    src = row_key if row_key is not None else F.monotonically_increasing_id()
-    return F.pmod(F.xxhash64(src), F.lit(n_salts)).cast("int")
+    if row_key is not None:
+        src = F.xxhash64(row_key)
+    elif content_cols:
+        src = F.xxhash64(*[F.col(c) for c in content_cols])
+    else:
+        src = F.xxhash64(F.monotonically_increasing_id())
+    return F.pmod(src, F.lit(n_salts)).cast("int")
 
 
 def salted_agg(
@@ -64,7 +84,9 @@ def salted_agg(
     """
     partial_fns = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
     merge_fns = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
-    salted = df.withColumn("_salt", salt_col(n_salts, row_key))
+    salted = df.withColumn(
+        "_salt", salt_col(n_salts, row_key, content_cols=df.columns)
+    )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[
             partial_fns[fn](col).alias(out)
@@ -87,7 +109,9 @@ def salted_join(
     """Skew-resistant equi join: per-row-salt the big side, replicate the
     small side across all salts, join on (keys + salt), drop the salt."""
     on = list(on)
-    big_s = big.withColumn("_salt", salt_col(n_salts, row_key))
+    big_s = big.withColumn(
+        "_salt", salt_col(n_salts, row_key, content_cols=big.columns)
+    )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))
     ).alias("_salt")

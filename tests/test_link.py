@@ -166,3 +166,22 @@ class TestHybridLinking:
         a = {tuple(r) for r in local_sm.collect()}
         b = {tuple(r) for r in dist_sm.collect()}
         assert a == b and a
+
+    def test_link_entities_releases_caches(self, spark, pipeline_out):
+        """Cache-ownership contract (link_entities docstring): surfaces is
+        unpersisted inside; after the caller consumes the outputs and
+        unpersists surface_map (as pipeline.link_job does), repeated
+        linking in one long-lived session accumulates NO persistent RDDs."""
+        cfg = pipeline_out["cfg"]
+        mentions = cfg.table("mentions").load(spark)
+
+        def run_once():
+            sm, ents = link.link_entities(mentions)
+            ents.count()
+            sm.unpersist(blocking=True)
+
+        run_once()
+        baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+        run_once()
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after <= baseline

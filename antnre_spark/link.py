@@ -221,11 +221,113 @@ def _local_union_find(
     )
 
 
+def _star_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Alternating large-star/small-star connected components (the
+    MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — public algorithm): converges in O(log^2 n)
+    rounds INDEPENDENT of component diameter, so a 10^4-node typo chain
+    that exhausts label propagation's hop budget resolves here.
+
+    sym: symmetric (ent_type, src, dst) edge list. Returns
+    (ent_type, norm, component) for every node incident to an edge,
+    component = min norm of the connected component.
+
+    Per round: large-star hangs every strictly-larger neighbor of u onto
+    m = min(N(u) ∪ {u}); small-star re-hangs u and its smaller neighbors
+    onto their minimum. Both are one groupBy + one join over the edge
+    list (shuffle-bounded, no driver-side graph state); the edge set
+    stays within a constant factor of the input throughout (paper's
+    invariant), and each round localCheckpoints to cut lineage.
+    Convergence = (count, hash-sum) fingerprint of the canonical edge set
+    unchanged — at the fixpoint the edges ARE stars centered at component
+    minima, which is the label assignment."""
+    edges = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .select(
+            "ent_type",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        # bit_xor, not sum: ANSI mode makes a long sum of xxhash64 values
+        # throw on overflow; xor is order-insensitive and overflow-free,
+        # and the edge set is distinct so xor cannot hide multiplicity
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("ent_type", "a", "b")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    fp = fingerprint(edges)
+    for _ in range(max_rounds):
+        # large-star: per node u, m = min(N(u) ∪ {u}); emit (m, v) for
+        # every neighbor v > u. m <= u < v, so pairs stay canonical.
+        s = edges.select(
+            "ent_type", F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(
+            edges.select(
+                "ent_type", F.col("b").alias("u"), F.col("a").alias("v")
+            )
+        )
+        m = (
+            s.groupBy("ent_type", "u")
+            .agg(F.min("v").alias("mv"))
+            .select("ent_type", "u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            s.join(m, ["ent_type", "u"])
+            .filter(F.col("v") > F.col("u"))
+            .select("ent_type", F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: per node u (larger endpoint), m = min of its smaller
+        # neighbors; emit (m, u) and (m, v) for the other smaller v.
+        s2 = large.select(
+            "ent_type", F.col("b").alias("u"), F.col("a").alias("v")
+        )
+        m2 = s2.groupBy("ent_type", "u").agg(F.min("v").alias("m"))
+        small = (
+            s2.join(m2, ["ent_type", "u"])
+            .select("ent_type", F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionByName(
+                m2.select(
+                    "ent_type", F.col("m").alias("a"), F.col("u").alias("b")
+                )
+            )
+            .distinct()
+        )
+        new_edges = small.localCheckpoint(eager=True)
+        new_fp = fingerprint(new_edges)
+        edges = new_edges
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # fixpoint edges are (component_min, member): read labels off directly
+    members = edges.select(
+        "ent_type", F.col("b").alias("norm"), F.col("a").alias("component")
+    )
+    centers = edges.select(
+        "ent_type", F.col("a").alias("norm"), F.col("a").alias("component")
+    )
+    return (
+        members.unionByName(centers)
+        .groupBy("ent_type", "norm")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
     max_iters: int = CC_MAX_ITERS,
     local_threshold: int = LOCAL_CC_MAX_EDGES,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """G6: min-label propagation until fixpoint.
 
@@ -242,8 +344,15 @@ def connected_components(
     shuffle-bounded join+agg; localCheckpoint truncates the lineage so
     iteration i does not replay iterations 0..i-1; convergence is counted
     with a single count() action on changed labels. Alias clusters have
-    tiny diameters, so this converges in a handful of iterations; for
-    adversarial graphs switch to large-star/small-star (same primitive).
+    tiny diameters, so this converges in a handful of iterations.
+
+    ``algorithm``: 'auto' (default) runs label propagation and, if a
+    component is wider than the hop budget (labels still changing at
+    max_iters), AUTOMATICALLY re-resolves with large-star/small-star
+    (_star_components) — diameter-independent, so wide typo chains are
+    never silently split; 'star' forces large-star/small-star from the
+    start (adversarial graphs, tests); 'label_prop' keeps the r2
+    warn-only behavior for benchmarking the raw loop.
     """
     sym = edges.select("ent_type", F.col("norm_a").alias("src"), F.col("norm_b").alias("dst")).unionByName(
         edges.select("ent_type", F.col("norm_b").alias("src"), F.col("norm_a").alias("dst"))
@@ -267,6 +376,13 @@ def connected_components(
     edge_nodes = (
         sym.select("ent_type", F.col("src").alias("norm")).distinct()
     )
+    if algorithm == "star":
+        labels = _star_components(sym)
+        return nodes.join(labels, ["ent_type", "norm"], "left").select(
+            "ent_type",
+            "norm",
+            F.coalesce("component", F.col("norm")).alias("component"),
+        )
     labels = edge_nodes.select("ent_type", "norm", F.col("norm").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     if labels.count() == 0:
@@ -311,19 +427,28 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
-        # a component with diameter > ~max_iters would otherwise be SILENTLY
-        # split into multiple entity_ids — surface it so callers can raise
-        # max_iters or switch to large-star/small-star for that corpus
+        # a component wider than the hop budget: under 'auto' re-resolve
+        # with the diameter-independent large-star/small-star algorithm
+        # instead of shipping split components (the r2 warn-only gap)
         import logging
 
-        logging.getLogger(__name__).warning(
-            "connected_components did not converge after %d propagation "
-            "steps (%d labels still changing) — components wider than the "
-            "hop budget are split; raise max_iters or use large-star/"
-            "small-star for adversarial graphs",
-            2 * (max_iters // 2 + 1),
-            changed,
-        )
+        if algorithm == "auto":
+            logging.getLogger(__name__).warning(
+                "connected_components: %d labels still changing after %d "
+                "propagation steps — re-resolving with large-star/"
+                "small-star (diameter-independent)",
+                changed,
+                2 * (max_iters // 2 + 1),
+            )
+            labels = _star_components(sym)
+        else:
+            logging.getLogger(__name__).warning(
+                "connected_components did not converge after %d propagation "
+                "steps (%d labels still changing) — components wider than "
+                "the hop budget are split; use algorithm='auto'/'star'",
+                2 * (max_iters // 2 + 1),
+                changed,
+            )
     # isolated nodes (no edges) never entered the loop: own-label rejoin
     return nodes.join(labels, ["ent_type", "norm"], "left").select(
         "ent_type",

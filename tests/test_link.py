@@ -73,6 +73,86 @@ class TestConnectedComponents:
         assert got[("Peop", "springfield")] == "springfield"  # own component
 
 
+class TestStarComponents:
+    """Large-star/small-star (diameter-independent CC): forced via
+    algorithm='star', and as the automatic fallback when label propagation
+    exhausts its hop budget (the r2 warn-only gap)."""
+
+    def test_wide_chain_converges_forced(self, spark):
+        """A planted 10^4-node chain: label propagation would need ~10^4
+        hops (far past CC_MAX_ITERS); star converges in O(log^2 n) rounds
+        and must label every node with the chain minimum."""
+        n = 10_000
+        names = [f"n{i:05d}" for i in range(n)]
+        edges = spark.createDataFrame(
+            [("T", names[i], names[i + 1]) for i in range(n - 1)],
+            ["ent_type", "norm_a", "norm_b"],
+        )
+        nodes = spark.createDataFrame(
+            [("T", x) for x in names], ["ent_type", "norm"]
+        )
+        got = link.connected_components(
+            edges, nodes, local_threshold=0, algorithm="star"
+        ).collect()
+        assert len(got) == n
+        assert {r["component"] for r in got} == {names[0]}
+
+    def test_auto_falls_back_when_hop_budget_exhausted(self, spark):
+        """algorithm='auto' with a tiny hop budget on a 64-node chain:
+        label propagation cannot finish, so the star fallback must run
+        and still produce the exact single component."""
+        n = 64
+        names = [f"c{i:03d}" for i in range(n)]
+        edges = spark.createDataFrame(
+            [("T", names[i], names[i + 1]) for i in range(n - 1)],
+            ["ent_type", "norm_a", "norm_b"],
+        )
+        nodes = spark.createDataFrame(
+            [("T", x) for x in names], ["ent_type", "norm"]
+        )
+        got = {
+            r["norm"]: r["component"]
+            for r in link.connected_components(
+                edges, nodes, max_iters=4, local_threshold=0, algorithm="auto"
+            ).collect()
+        }
+        assert all(got[x] == names[0] for x in names)
+
+    def test_star_matches_local_union_find_on_random_graph(self, spark):
+        """Star labels == exact driver-local union-find labels on a seeded
+        random graph (multiple components, cross-type isolation)."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        n = 400
+        names = [f"r{i:04d}" for i in range(n)]
+        pairs = {
+            (names[int(a)], names[int(b)])
+            for a, b in rng.integers(0, n, size=(500, 2))
+            if a != b
+        }
+        edges = spark.createDataFrame(
+            [("T", a, b) for a, b in sorted(pairs)],
+            ["ent_type", "norm_a", "norm_b"],
+        )
+        nodes = spark.createDataFrame(
+            [("T", x) for x in names], ["ent_type", "norm"]
+        )
+        star = {
+            (r["ent_type"], r["norm"]): r["component"]
+            for r in link.connected_components(
+                edges, nodes, local_threshold=0, algorithm="star"
+            ).collect()
+        }
+        exact = {
+            (r["ent_type"], r["norm"]): r["component"]
+            for r in link.connected_components(
+                edges, nodes, local_threshold=10**9
+            ).collect()
+        }
+        assert star == exact
+
+
 class TestCandidatePairs:
     def test_bucket_cap_drops_degenerate_buckets(self, spark):
         """> max_bucket identical-signature surfaces: bucket dropped, no

@@ -1251,22 +1251,27 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-def _bucket_sql(n_planes: int, dim: int) -> str:
-    """DuckDB twin of simsearch.hyperplane_bucket: the SAME plane-weight
-    literals (repr() round-trips each float exactly), the same sequential
-    dot product, the same sign-character concatenation."""
-    import sys
-
-    sys.path.insert(0, REPO)
-    from antnre_spark.hashing import plane_weights
-
+def _bucket_sql_from(planes: list[list[float]]) -> str:
+    """DuckDB twin of simsearch.hyperplane_bucket for an explicit plane
+    list: the SAME plane-weight literals (repr() round-trips each float
+    exactly), the same sequential dot product, the same sign-character
+    concatenation."""
     cases = []
-    for w in plane_weights(dim, n_planes):
+    for w in planes:
         arr = "[" + ", ".join(repr(x) for x in w) + "]"
         cases.append(
             f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END"
         )
     return "concat(" + ", ".join(cases) + ")"
+
+
+def _bucket_sql(n_planes: int, dim: int) -> str:
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.hashing import plane_weights
+
+    return _bucket_sql_from(plane_weights(dim, n_planes))
 
 
 def q_dd_cosine_lsh(spark, sf_dir):
@@ -1286,6 +1291,73 @@ def q_dd_cosine_lsh(spark, sf_dir):
     # n_planes sized for the SF corpus (500-5000 vectors -> 8 planes keeps
     # buckets populated); the oracle embeds the same 8-plane weights
     return cosine_dup_pairs(e, tau=0.35, n_planes=8, dim=len(_query_vec(sf_dir)))
+
+
+# demo params shared by the banded Spark query and its DuckDB twin
+_BANDED_PLANES, _BANDED_BANDS, _BANDED_TAU, _BANDED_CAP = 6, 3, 0.35, 64
+
+
+def q_dd_cosine_lsh_banded(spark, sf_dir):
+    """Banded multi-plane cosine LSH (dedup.cosine_dup_pairs_banded —
+    the recall-recovery path over the single-set operator). FULLY
+    oracle-checked: DuckDB recomputes the identical 3x6 banded buckets
+    from the same plane-weight literals, applies the identical per-band
+    cap, dedups candidates across bands, and verifies with the same
+    rounded exact cosine."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.dedup import cosine_dup_pairs_banded
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return cosine_dup_pairs_banded(
+        e,
+        tau=_BANDED_TAU,
+        n_planes=_BANDED_PLANES,
+        n_bands=_BANDED_BANDS,
+        max_bucket=_BANDED_CAP,
+        dim=len(_query_vec(sf_dir)),
+    )
+
+
+def _cosine_lsh_banded_sql(sf_dir: str | None = None) -> str:
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.hashing import plane_weights
+
+    dim = len(_query_vec(sf_dir or _oracle_sf_dir()))
+    allp = plane_weights(dim, _BANDED_BANDS * _BANDED_PLANES)
+    band_selects = []
+    for b in range(_BANDED_BANDS):
+        bkt = _bucket_sql_from(
+            allp[b * _BANDED_PLANES : (b + 1) * _BANDED_PLANES]
+        )
+        band_selects.append(
+            f"SELECT vec_id, concat('{b}:', {bkt}) AS bkt FROM n WHERE nrm > 0"
+        )
+    union = "\nUNION ALL\n".join(band_selects)
+    cos = "round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+b AS ({union}),
+c AS (
+  SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY bkt) <= {_BANDED_CAP}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM c a JOIN c b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
+SELECT cand.id_a, cand.id_b, {cos} AS cosine
+FROM cand JOIN n x ON x.vec_id = cand.id_a JOIN n y ON y.vec_id = cand.id_b
+WHERE {cos} >= {_BANDED_TAU}
+"""
 
 
 def _oracle_sf_dir() -> str:
@@ -1794,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "dd_cosine_exact": q_dd_cosine_exact,
         "dd_cosine_lsh": q_dd_cosine_lsh,
+        "dd_cosine_lsh_banded": q_dd_cosine_lsh_banded,
         "ss_topk_cosine": q_ss_topk_cosine,
         "ss_bucketed_topk": q_ss_bucketed_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
@@ -1816,6 +1889,7 @@ def oracle_sql() -> dict[str, str]:
     for name, builder in (
         ("kg_triples", _kg_triples_sql),
         ("dd_cosine_lsh", _cosine_lsh_sql),
+        ("dd_cosine_lsh_banded", _cosine_lsh_banded_sql),
         ("ss_bucketed_topk", _ss_bucketed_sql),
         ("ss_ivf_topk", _ss_ivf_sql),
     ):

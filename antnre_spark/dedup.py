@@ -365,8 +365,11 @@ def cosine_dup_pairs(
     vectors; 10^9 docs need >= 26. Check BEFORE running with
     ``cosine_bucket_stats`` (one cheap agg) — if dropped_frac is not ~0,
     raise n_planes. More planes cost recall per plane (P(same bucket) =
-    (1 - theta/pi)^n_planes); recover recall with B independent plane sets
-    (band the planes like MinHash) rather than fewer planes.
+    (1 - theta/pi)^n_planes — concretely, at the 16-plane default a
+    tau=0.95 pair collides with probability only ~0.18, i.e. this
+    single-set operator finds ~1 in 5 true near-dup pairs); when recall
+    matters, use ``cosine_dup_pairs_banded`` (B independent plane sets
+    OR'd like MinHash bands) rather than fewer planes.
     """
     from antnre_spark.simsearch import hyperplane_bucket
 
@@ -395,6 +398,95 @@ def cosine_dup_pairs(
     return (
         a.join(b, "bkt")
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_dup_pairs_banded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int = 64,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded multi-plane cosine LSH — the recall-recovery path that
+    cosine_dup_pairs' sizing doc prescribes.
+
+    One plane set of ``n_planes`` keeps buckets small but pays recall
+    per plane: P(pair collides) = (1 - theta/pi)^n_planes, which at the
+    n_planes >= 26 a 10^9-doc corpus needs drops below 0.1 for tau=0.95
+    pairs. Banding recovers it like MinHash-LSH does: ``n_bands``
+    INDEPENDENT plane sets (disjoint slices of one seeded
+    plane_weights(dim, n_bands*n_planes) family — engine-portable
+    literals, shared with the DuckDB oracle), a pair is a candidate if
+    ANY band agrees → P = 1 - (1 - p_band)^n_bands, then ONE exact
+    cosine verification per distinct candidate pair.
+
+    Scale shape: candidates travel as (id, bkt) pairs only — the
+    explode-by-band multiplies shuffled BYTES by n_bands for ids, not
+    for vectors; embeddings are joined back exactly once for the
+    verification of deduped candidates. Per-bucket cap and the
+    linear-in-n pair bound are per band, identical to the single-set
+    operator."""
+    from antnre_spark.simsearch import hyperplane_bucket
+
+    d = dim or _infer_vec_dim(df, vec_col)
+    all_planes = hashing.plane_weights(d, n_bands * n_planes)
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        F.col(id_col).alias("id"), v.alias("vec"), norm.alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                hyperplane_bucket(
+                    F.col("vec"),
+                    all_planes[b * n_planes : (b + 1) * n_planes],
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = base.select("id", F.explode(keys).alias("bkt"))
+    wb = Window.partitionBy("bkt")
+    bounded = (
+        buckets.withColumn("_bsz", F.count("*").over(wb))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    cand = (
+        bounded.select(F.col("id").alias("id_a"), "bkt")
+        .join(bounded.select(F.col("id").alias("id_b"), "bkt"), "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6))
         .filter(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")

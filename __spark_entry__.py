@@ -1465,10 +1465,14 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 def q_ss_ivf_topk(spark, sf_dir):
     """IVF ANN top-k (the data-DEPENDENT scale path, complementing the
     hyperplane-LSH index): seeded k-means coarse quantizer over a
-    deterministic sample, cell assignment JVM-side from centroid literals,
+    deterministic md5-hash sample (unbiased, engine-portable — see
+    kmeans_centroids), cell assignment JVM-side from centroid literals,
     nprobe-cell pruning, exact cosine rank. FULLY oracle-checked: DuckDB
     recomputes the identical cells from the same centroid literals (shared
-    numpy k-means core) and the same probe set."""
+    numpy k-means core over the same hash sample) and the same probe set.
+    Corpus-scale quantizer refresh exists as simsearch.refine_centroids
+    (distributed groupBy(cell) Lloyd round; pytest-covered — pinned off
+    here for last-ulp oracle reproducibility)."""
     import sys
 
     sys.path.insert(0, REPO)
@@ -1488,12 +1492,18 @@ def _ss_ivf_sql(sf_dir: str | None = None, n_centroids: int = 16, nprobe: int = 
     from antnre_spark.simsearch import kmeans_from_points
 
     sf = sf_dir or _oracle_sf_dir()
-    t = (
-        pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .to_pandas()
-        .sort_values("vec_id")
-        .head(256)
+    t = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    # the exact sample kmeans_centroids takes: smallest md5(id) values
+    # (hashlib md5 over the decimal string == Spark md5(cast(id as
+    # string)) == DuckDB md5(vec_id::VARCHAR))
+    import hashlib
+
+    t["_h"] = t["vec_id"].map(
+        lambda i: hashlib.md5(str(int(i)).encode()).hexdigest()
     )
+    t = t.sort_values(["_h", "vec_id"]).head(256)
     X = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
     cents = kmeans_from_points(X, n_centroids)
 

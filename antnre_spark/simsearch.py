@@ -117,19 +117,81 @@ def kmeans_centroids(
     seed: int = 42,
 ) -> list[list[float]]:
     """IVF coarse quantizer: seeded Lloyd k-means over a DETERMINISTIC
-    sample (first sample_size rows by id — reproducible across runs and
-    partitionings, unlike df.sample). Centroids come back as plain floats
-    rounded to 6 decimals so the SAME literals drive assignment in Spark,
-    DuckDB, and the python probe computation. Driver-side numpy: the
-    sample is bounded, the index assignment below is the distributed part.
+    HASH sample — the sample_size rows with the smallest md5(id) values.
+    Hash order is reproducible across runs, partitionings AND engines
+    (DuckDB md5 is identical, so the oracle twin reconstructs the exact
+    sample), and unlike the r2 orderBy(id).limit(n) it is UNBIASED: low
+    ids are whatever rows were ingested first, md5 order is uniform over
+    the corpus, so the sample sees the true density. Execution shape is
+    TakeOrdered: each scan task keeps a sample_size-row heap and only
+    those heaps travel to the driver — one pass, no shuffle, O(tasks *
+    sample_size) driver merge; at 100 TB pre-filter with
+    curate.deterministic_sample (same md5 family, pushed to the scan) so
+    the heaps run over a thin slice instead of every row.
+
+    Centroids come back as plain floats rounded to 6 decimals so the
+    SAME literals drive assignment in Spark, DuckDB, and the python
+    probe computation. Driver-side numpy Lloyd on the bounded sample;
+    for a corpus-scale refresh run refine_centroids (distributed
+    assignment + groupBy(cell) means) on the result.
     """
     import numpy as np
 
     rows = (
-        df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+        df.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
     )
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     return kmeans_from_points(X, n_centroids, iters, seed)
+
+
+def refine_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    rounds: int = 1,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd refresh: re-estimate each centroid as the mean
+    of ALL vectors assigned to its cell (assignment by the same ivf_cell
+    literal expression the index uses). This is the corpus-scale training
+    path the sample-only quantizer lacks: the 256-row sample fixes the
+    topology, >=1 full-data round moves centroids to the true cell means
+    a sample cannot represent at 100 TB.
+
+    Cost per round: one scan + one groupBy(cell) shuffle of dim partial
+    sums per cell (map-side combined — bytes shuffled are O(cells * dim *
+    tasks), never O(rows)). Empty cells keep their previous centroid.
+
+    Determinism note: double addition is not associative, so cross-
+    partitioning runs can differ in the last ulp before the 6-decimal
+    round; same-layout runs are exactly reproducible. The driver-demo
+    oracle therefore pins refine rounds to 0; this path is for real
+    corpora where quantizer quality beats last-ulp reproducibility."""
+    dim = len(centroids[0])
+    cents = [list(c) for c in centroids]
+    for _ in range(rounds):
+        v = F.col(vec_col)
+        agg = (
+            df.select(ivf_cell(v, cents).alias("cell"), v.alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in agg:
+            cents[r["cell"] - 1] = [
+                round(float(r[f"s{i}"] / r["n"]), 6) for i in range(dim)
+            ]
+    return cents
 
 
 def kmeans_from_points(

@@ -343,7 +343,10 @@ class TestIVF:
         return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
 
     def test_ivf_finds_true_nearest(self, clustered):
-        cents = simsearch.kmeans_centroids(clustered, n_centroids=4, sample_size=40)
+        # 2 centroids for the 2 planted clusters: the quantizer separates
+        # them for ANY sample order, so the nearest-cell property under
+        # test is not hostage to k-means init luck
+        cents = simsearch.kmeans_centroids(clustered, n_centroids=2, sample_size=40)
         idx = simsearch.ivf_index(clustered, cents)
         got = [
             r["vec_id"]
@@ -361,3 +364,46 @@ class TestIVF:
         a = simsearch.kmeans_centroids(clustered, n_centroids=4, sample_size=40)
         b = simsearch.kmeans_centroids(clustered, n_centroids=4, sample_size=40)
         assert a == b
+
+    def test_kmeans_sample_is_hash_ordered_not_id_ordered(self, clustered):
+        """The quantizer sample must be the smallest-md5(id) rows, not the
+        lowest ids (the r2 bias): training on a strict id-prefix subset
+        must give different centroids than the hash sample when the prefix
+        is unrepresentative."""
+        import hashlib
+
+        ids = [r["vec_id"] for r in clustered.select("vec_id").collect()]
+        by_hash = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:10]
+        sub = clustered.filter(F.col("vec_id").isin(by_hash))
+        full_sample = simsearch.kmeans_centroids(
+            clustered, n_centroids=2, sample_size=10
+        )
+        sub_sample = simsearch.kmeans_centroids(
+            sub, n_centroids=2, sample_size=10
+        )
+        # the 10-row hash sample of the full table IS those 10 rows
+        assert full_sample == sub_sample
+
+    def test_refine_centroids_matches_numpy_reference(self, clustered):
+        """One distributed Lloyd round == numpy assignment+mean over the
+        full data (same rounded centroid literals, same lowest-index tie
+        rule), within float tolerance."""
+        import numpy as np
+
+        cents = simsearch.kmeans_centroids(
+            clustered, n_centroids=4, sample_size=40
+        )
+        refined = simsearch.refine_centroids(clustered, cents, rounds=1)
+        X = np.array(
+            [r["embedding"] for r in clustered.orderBy("vec_id").collect()]
+        )
+        C = np.array(cents)
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        expect = [list(c) for c in C]
+        for k in range(4):
+            m = X[assign == k]
+            if len(m):
+                expect[k] = [round(float(x), 6) for x in m.mean(axis=0)]
+        assert np.allclose(refined, expect, atol=1e-6)

@@ -32,11 +32,77 @@ def resolve_mentions(
     return m.join(sm, ["ent_type", "norm"], "inner").drop("norm")
 
 
+def _agg_triples(resolved: DataFrame, provenance_cap: int) -> DataFrame:
+    """The H2 aggregate: one triple row per (subj, pred, obj) with max
+    conf, evidence count, and capped deterministically-ordered
+    provenance."""
+    return (
+        resolved.groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("conf").alias("conf"),
+            F.count("*").alias("n_evidence"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("conv_id", "turn_idx", "sent_idx"))
+                ),
+                1,
+                provenance_cap,
+            ).alias("provenance"),
+        )
+        .select("subj", "pred", "obj", "conf", "n_evidence", "provenance")
+    )
+
+
+def _salted_triple_agg(
+    resolved: DataFrame, provenance_cap: int, n_salts: int = 16
+) -> DataFrame:
+    """Two-level H2 aggregate for KNOWN-HOT subjects (BASELINE.json:6
+    "explicit salting ... hub entities"): collect_list is the one
+    non-decomposable piece of the triple agg — without salting, every
+    evidence struct of a hub triple ships to ONE reducer even though only
+    provenance_cap survive. Level 1 aggregates per (key, salt): each of
+    the n_salts partials keeps its own sorted cap-length slice; level 2
+    merges (flatten + sort + slice). Exactly equal to the unsalted
+    aggregate because the global ascending top-cap is contained in the
+    union of per-salt ascending top-caps; max/count are decomposable."""
+    from antnre_spark.salt import salt_col
+
+    salted = resolved.withColumn(
+        "_salt",
+        salt_col(n_salts, content_cols=["conv_id", "turn_idx", "sent_idx"]),
+    )
+    partial = salted.groupBy("subj", "pred", "obj", "_salt").agg(
+        F.max("conf").alias("conf"),
+        F.count("*").alias("n_evidence"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("conv_id", "turn_idx", "sent_idx"))
+            ),
+            1,
+            provenance_cap,
+        ).alias("provenance"),
+    )
+    return (
+        partial.groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("conf").alias("conf"),
+            F.sum("n_evidence").alias("n_evidence"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("provenance"))),
+                1,
+                provenance_cap,
+            ).alias("provenance"),
+        )
+        .select("subj", "pred", "obj", "conf", "n_evidence", "provenance")
+    )
+
+
 def build_triples(
     relations: DataFrame,
     surface_map: DataFrame,
     provenance_cap: int = PROVENANCE_CAP,
     broadcast_map: bool = True,
+    hub_subjects: list[str] | None = None,
 ) -> DataFrame:
     """H1+H2: resolve both relation arguments, then dedup into TRIPLES with
     evidence counts and capped, deterministically-ordered provenance.
@@ -48,6 +114,12 @@ def build_triples(
     orders of magnitude smaller than mentions (surfaces dedupe hub
     entities to one row). The old mention-id formulation cost two
     full sort-merge joins over every mention and anti-scaled with cores.
+
+    ``hub_subjects``: known-hot entity ids (pipeline.link_job reads the
+    previous run's hub_entities table — the explicit-salting loop
+    BASELINE.json:6 asks for). Their rows aggregate through the salted
+    two-level path (_salted_triple_agg, value-identical); everything else
+    takes the plain single-shuffle aggregate.
     """
     sm = surface_map.select("ent_type", "norm", "entity_id")
     if broadcast_map:
@@ -68,21 +140,14 @@ def build_triples(
         .join(subj_map, ["subj_ent_type", "_subj_norm"], "inner")
         .join(obj_map, ["obj_ent_type", "_obj_norm"], "inner")
     )
-    return (
-        resolved.groupBy("subj", "pred", "obj")
-        .agg(
-            F.max("conf").alias("conf"),
-            F.count("*").alias("n_evidence"),
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("conv_id", "turn_idx", "sent_idx"))
-                ),
-                1,
-                provenance_cap,
-            ).alias("provenance"),
+    if hub_subjects:
+        is_hub = F.col("subj").isin(list(hub_subjects))
+        return _agg_triples(
+            resolved.filter(~is_hub), provenance_cap
+        ).unionByName(
+            _salted_triple_agg(resolved.filter(is_hub), provenance_cap)
         )
-        .select("subj", "pred", "obj", "conf", "n_evidence", "provenance")
-    )
+    return _agg_triples(resolved, provenance_cap)
 
 
 def build_vertices(triples: DataFrame, entities: DataFrame) -> DataFrame:

@@ -149,7 +149,19 @@ def link_job(spark: SparkSession, cfg: PipelineConfig) -> dict:
         raise RuntimeError("run extract_job first")
 
     surface_map, entities = link.link_entities(mentions, tau=cfg.jaccard_tau)
-    triples = materialize.build_triples(relations, surface_map)
+    # explicit salting at known-hot keys (BASELINE.json:6): the PREVIOUS
+    # run's hub_entities table (top out-degree subjects, written below)
+    # routes those subjects through the salted two-level triple aggregate;
+    # first run has no hub table yet and takes the plain path everywhere
+    hub_tbl = cfg.table("hub_entities").load(spark)
+    hub_subjects = (
+        [r["subj"] for r in hub_tbl.select("subj").limit(200).collect()]
+        if hub_tbl is not None
+        else None
+    )
+    triples = materialize.build_triples(
+        relations, surface_map, hub_subjects=hub_subjects
+    )
     triples = triples.localCheckpoint(eager=True)
     vertices = materialize.build_vertices(triples, entities)
 

@@ -912,20 +912,47 @@ GROUP BY pred_lang
 
 
 def q_t_quality(spark, sf_dir):
+    """Quality features (length/punct/stopword ratios) + the char-trigram
+    LM perplexity proxy (textops.with_trigram_logprob, r3) in one row per
+    doc. FULLY oracle-checked: DuckDB replays the identical trigram table
+    literals (CASE chain) and OOV mass."""
     import sys
 
     sys.path.insert(0, REPO)
-    from antnre_spark.textops import with_quality_scores
+    from antnre_spark.textops import with_quality_scores, with_trigram_logprob
 
-    return with_quality_scores(_doc(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len"
+    return with_trigram_logprob(with_quality_scores(_doc(spark, sf_dir))).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "trigram_logp",
     )
 
 
 def _quality_sql() -> str:
-    from antnre_spark.textops import LANG_STOPWORDS
+    from antnre_spark.textops import (
+        LANG_STOPWORDS,
+        trigram_oov_logp,
+        trigram_table,
+    )
 
     sw = _sw_sql(LANG_STOPWORDS["en"])
+    # trigram LM twin: same table literals (repr round-trips the rounded
+    # log10 probs), CASE-chain lookup, same OOV mass, same fold order
+    oov = trigram_oov_logp()
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v!r}'::DOUBLE"
+        for k, v in trigram_table().items()
+        if "'" not in k
+    )
+    quoted = " ".join(
+        "WHEN '" + k.replace("'", "''") + f"' THEN '{v!r}'::DOUBLE"
+        for k, v in trigram_table().items()
+        if "'" in k
+    )
+    tri = (
+        "list_transform(generate_series(1, greatest(length(t) - 2, 1)), "
+        f"i -> coalesce(CASE substr(t, i, 3) {whens} {quoted} END, "
+        f"'{oov!r}'::DOUBLE))"
+    )
     return f"""
 SELECT doc_id,
        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
@@ -934,8 +961,11 @@ SELECT doc_id,
        round({sw}::DOUBLE
              / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio,
        round((length(text) - len(string_split_regex(trim(text), '\\s+')) + 1)::DOUBLE
-             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mean_token_len
-FROM documents
+             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mean_token_len,
+       round(list_sum({tri}) / len({tri}), 4) AS trigram_logp
+FROM (SELECT doc_id, text,
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+      FROM documents)
 """
 
 

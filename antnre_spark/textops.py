@@ -12,15 +12,49 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# small built-in stopword lists for the n-gram/stopword language heuristic;
-# priority order breaks score ties deterministically
+# built-in stopword lists for the stopword-voting language heuristic;
+# priority order breaks score ties deterministically. 8 languages x ~20
+# high-frequency function words each (hand-assembled from common knowledge
+# of each language's closed-class vocabulary — no external wordlist
+# shipped). Still a heuristic, not fastText — but wide enough to separate
+# the major European languages on real prose.
 LANG_STOPWORDS: dict[str, list[str]] = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
-    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
-    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "para"],
+    "en": [
+        "the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
+        "that", "this", "was", "are", "be", "as", "at", "by", "from", "it",
+    ],
+    "de": [
+        "der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf",
+        "zu", "den", "von", "sich", "des", "im", "dem", "eine", "als",
+        "auch", "werden",
+    ],
+    "fr": [
+        "le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que",
+        "des", "du", "il", "au", "ce", "pas", "sur", "sont", "avec", "ne",
+    ],
+    "es": [
+        "el", "la", "los", "y", "es", "un", "una", "en", "por", "para",
+        "del", "las", "se", "no", "con", "su", "al", "lo", "como", "más",
+    ],
+    "it": [
+        "il", "di", "che", "e", "la", "per", "un", "non", "sono", "con",
+        "del", "una", "della", "gli", "nel", "le", "si", "da", "più", "anche",
+    ],
+    "pt": [
+        "o", "de", "que", "e", "do", "da", "em", "um", "para", "com",
+        "não", "uma", "os", "no", "se", "na", "por", "mais", "das", "como",
+    ],
+    "nl": [
+        "de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+        "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als",
+        "maar",
+    ],
+    "sv": [
+        "och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
+        "den", "till", "inte", "om", "ett", "han", "var", "jag", "sig", "så",
+    ],
 }
-LANG_PRIORITY = ["en", "de", "fr", "es"]
+LANG_PRIORITY = ["en", "de", "fr", "es", "it", "pt", "nl", "sv"]
 
 
 def tokens_of(text: Column) -> Column:
@@ -104,6 +138,91 @@ def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+# seed corpus for the char-trigram language-model quality proxy: a fixed
+# paragraph of ordinary English prose written for this module (the point
+# is a DETERMINISTIC, engine-portable probability table, not linguistic
+# coverage — swap in corpus-trained counts for production filtering)
+_TRIGRAM_SEED = (
+    "the quality of a training corpus depends on the text it keeps and the "
+    "text it throws away. documents that read like ordinary prose share "
+    "most of their character patterns with other prose, while boilerplate, "
+    "markup and random noise do not. a simple language model over "
+    "character sequences can tell these apart: text that the model finds "
+    "predictable scores well, and text full of surprising sequences "
+    "scores poorly. this paragraph is the training data for that model, "
+    "so common english patterns like spaces between short words, the "
+    "letter pairs found in everyday writing, and ordinary punctuation "
+    "are what it learns to expect from clean text in the end."
+)
+_TRIGRAM_TABLE: dict[str, float] | None = None
+
+
+def trigram_table() -> dict[str, float]:
+    """Char-trigram log10 probabilities from the fixed seed paragraph
+    (counts >= 2 kept; singletons fold into the OOV mass). Values rounded
+    to 6 decimals so the identical literals drive Spark (map literal) and
+    DuckDB (VALUES join / CASE) — both engines then score bit-identically.
+    """
+    global _TRIGRAM_TABLE
+    if _TRIGRAM_TABLE is None:
+        import math
+
+        text = " ".join(_TRIGRAM_SEED.lower().split())
+        counts: dict[str, int] = {}
+        for i in range(len(text) - 2):
+            t = text[i : i + 3]
+            counts[t] = counts.get(t, 0) + 1
+        total = sum(counts.values())
+        _TRIGRAM_TABLE = {
+            t: round(math.log10(c / total), 6)
+            for t, c in sorted(counts.items())
+            if c >= 2
+        }
+    return _TRIGRAM_TABLE
+
+
+def trigram_oov_logp() -> float:
+    """OOV log-prob: half a count over the seed total (rounded like the
+    table entries)."""
+    import math
+
+    text = " ".join(_TRIGRAM_SEED.lower().split())
+    return round(math.log10(0.5 / (len(text) - 2)), 6)
+
+
+def with_trigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Char-trigram LM quality proxy (the perplexity-style pre-training
+    filter): mean log10 probability of the document's character trigrams
+    under the seed-trained table — prose-like text scores high (closer to
+    0), markup/noise scores low. Pure JVM column math: whitespace
+    collapse + lowercase, trigrams via transform over a sequence (no
+    explode — one row stays one row), table lookup via a map literal
+    (element_at -> null -> OOV coalesce), left-fold sum. Adds
+    ``trigram_logp`` (mean, rounded 4)."""
+    table = trigram_table()
+    oov = trigram_oov_logp()
+    kv = []
+    for k, v in table.items():
+        kv.append(F.lit(k))
+        kv.append(F.lit(v))
+    map_lit = F.create_map(*kv)
+    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    n = F.length(t)
+    idxs = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    logps = F.transform(
+        idxs,
+        # try_element_at, not element_at: ANSI mode (Spark 4 default)
+        # makes element_at THROW on a missing map key; try_ returns null
+        lambda i: F.coalesce(
+            F.try_element_at(map_lit, t.substr(i, F.lit(3))), F.lit(oov)
+        ),
+    )
+    mean_logp = F.aggregate(
+        logps, F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(logps)
+    return df.withColumn("trigram_logp", F.round(mean_logp, 4))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -128,6 +128,17 @@ def main() -> None:
             .agg(F.count("*").alias("n"))
         )
 
+    def dd_minhash_cands_only(spark_, sf_dir_):
+        """Candidate GENERATION only (signature UDF + band self-join).
+        dd_minhash_candidates additionally carries the exact-Jaccard
+        verification join that makes it oracle-checkable; reporting both
+        keeps round-over-round numbers comparable like-for-like (the r2
+        +112% on the combined query was the added verification, not a
+        candidate-path regression)."""
+        from antnre_spark.dedup import minhash_dup_candidates
+
+        return minhash_dup_candidates(entrymod._doc(spark_, sf_dir_))
+
     q = entrymod.queries()
     headline = {
         "kg_pipeline": kg_pipeline_read,
@@ -136,6 +147,7 @@ def main() -> None:
         "h2_groupby_agg": q["h2_groupby_agg"],
         "h1_join_2hop": q["h1_join_2hop"],
         "dd_exact": q["dd_exact"],
+        "dd_minhash_cands": dd_minhash_cands_only,
         "dd_minhash_candidates": q["dd_minhash_candidates"],
         "ss_topk_cosine": q["ss_topk_cosine"],
         "t_quality": q["t_quality"],

@@ -203,6 +203,46 @@ class TestTextOps:
         }
         assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
 
+    def test_language_id_widened_r3(self, spark):
+        """r3 breadth: the four added languages resolve on short prose and
+        do not steal the original four (shared function words like nl/pt
+        'de' tie-break by LANG_PRIORITY, deterministically)."""
+        rows = [
+            (0, "el gato es un animal en la casa por la noche"),
+            (1, "de hond is een dier in het huis met de kat"),
+            (2, "il gatto e un animale che non sono con il cane"),
+            (3, "o gato e um animal que nao esta em casa como antes"),
+            (4, "och det ar en katt som inte ar med jag och du"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["pred_lang"]
+            for r in textops.with_language_id(df).collect()
+        }
+        assert got == {0: "es", 1: "nl", 2: "it", 3: "pt", 4: "sv"}
+
+    def test_trigram_logp_separates_prose_from_noise(self, spark):
+        """The perplexity-proxy property: seed-like English prose scores
+        closer to 0 than keyboard noise; scores are deterministic."""
+        df = spark.createDataFrame(
+            [
+                (0, "the quality of the text depends on the patterns it "
+                    "shares with ordinary prose and common english words"),
+                (1, "zqx jkw vbn qqq zzz xkcd wvut plgh 0x1f3a 0x99ff"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r["trigram_logp"]
+            for r in textops.with_trigram_logprob(df).collect()
+        }
+        assert got[0] > got[1]
+        again = {
+            r["doc_id"]: r["trigram_logp"]
+            for r in textops.with_trigram_logprob(df).collect()
+        }
+        assert got == again
+
     def test_fingerprint_order_sensitive(self, spark):
         df = spark.createDataFrame(
             [(0, "alpha beta"), (1, "beta alpha")], ["doc_id", "text"]

@@ -54,7 +54,11 @@ LOCAL_CC_MAX_EDGES = 100_000
 # driver-scheduled Spark jobs collapse into one collect. Rules are
 # bit-identical to the distributed path (same hashing module, same caps,
 # same tie-breaks) — asserted by equality in tests/test_link.py.
-LOCAL_LINK_MAX_SURFACES = 100_000
+# 30k is the MEASURED crossover (BENCH/linking_boundary.py, local[16]:
+# local/distributed wall = 0.57x @10k, 0.93x @30k, 1.43x @100k); on a
+# real multi-executor cluster the distributed side only gets relatively
+# faster, so the threshold errs low.
+LOCAL_LINK_MAX_SURFACES = 30_000
 
 
 def normalize_surface(col: F.Column) -> F.Column:

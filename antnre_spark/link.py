@@ -590,37 +590,46 @@ def link_entities(
     turns unless entity diversity is extreme — and then the distributed
     path is exactly what you want.
 
-    Cache ownership: ``surfaces`` is cached and unpersisted HERE (the
-    returned plans never reference it — surface_map is either built from
-    driver rows or forced below before the unpersist). ``surface_map`` is
-    returned CACHED (the triple resolution joins and build_entities both
-    read it); the caller that runs the final actions unpersists it
-    (pipeline.link_job does).
+    Cache ownership: ``surfaces`` is cached (distributed path only) and
+    unpersisted HERE — the returned plans never reference it.
+    ``surface_map`` is returned CACHED (the triple resolution joins and
+    build_entities both read it); the caller that runs the final actions
+    unpersists it (pipeline.link_job does).
     """
     surfaces = distinct_surfaces(mentions)
-    surfaces.cache()
     spark = mentions.sparkSession
-    if local_threshold > 0 and surfaces.count() <= local_threshold:
-        rows = [
-            (r["ent_type"], r["norm"], r["n_mentions"], r["top_surface"])
-            for r in surfaces.collect()
-        ]
-        sm_rows = _link_surfaces_local(rows, tau, max_bucket)
-        surface_map = spark.createDataFrame(
-            sm_rows,
-            "ent_type string, norm string, entity_id string, "
-            "canonical string, n_mentions long",
-        ).select("ent_type", "norm", "entity_id", "canonical", "n_mentions")
-    else:
-        edges = candidate_pairs(surfaces, tau=tau, max_bucket=max_bucket)
-        components = connected_components(
-            edges, surfaces.select("ent_type", "norm")
-        )
-        surface_map = canonicalize(surfaces, components)
+    if local_threshold > 0:
+        # ONE probe job replaces the r2 count()+collect() pair: limit(T+1)
+        # returns the COMPLETE surface set whenever it doesn't bind
+        # (len <= T), and exactly T+1 rows — the over-threshold signal —
+        # when it does. Collect order is arbitrary under limit, which is
+        # fine: _link_surfaces_local sorts before hashing.
+        probe = surfaces.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            rows = [
+                (r["ent_type"], r["norm"], r["n_mentions"], r["top_surface"])
+                for r in probe
+            ]
+            sm_rows = _link_surfaces_local(rows, tau, max_bucket)
+            surface_map = spark.createDataFrame(
+                sm_rows,
+                "ent_type string, norm string, entity_id string, "
+                "canonical string, n_mentions long",
+            ).select(
+                "ent_type", "norm", "entity_id", "canonical", "n_mentions"
+            )
+            surface_map.cache()
+            return surface_map, build_entities(surface_map)
+    # distributed path: surfaces feeds three operators — cache it, drop it
+    # once surface_map is forced (leaving it pinned leaks executor memory
+    # across calls in a long-lived session)
+    surfaces.cache()
+    edges = candidate_pairs(surfaces, tau=tau, max_bucket=max_bucket)
+    components = connected_components(
+        edges, surfaces.select("ent_type", "norm")
+    )
+    surface_map = canonicalize(surfaces, components)
     surface_map.cache()
-    # force surface_map (small by construction) so surfaces' cache can be
-    # dropped now: nothing downstream re-reads it, and leaving it pinned
-    # leaks executor memory across calls in a long-lived session
     surface_map.count()
     surfaces.unpersist()
     return surface_map, build_entities(surface_map)

@@ -19,6 +19,7 @@ too.)
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -56,6 +57,103 @@ def streaming_session_counts(
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "n_turns",
+        )
+    )
+
+
+DOC_OUT_SCHEMA = "conv_id string, n_turns int, doc_text string, closed_by string"
+DOC_STATE_SCHEMA = "turn_idxs array<int>, texts array<string>, last_ts_ms long"
+
+
+def streaming_assemble_documents(
+    turns: DataFrame,
+    gap_seconds: int = 1800,
+    max_turns: int = 512,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """CUSTOM STATEFUL operator (``applyInPandasWithState``): streaming
+    document assembly — the C1 groupBy cannot run on an unbounded stream,
+    so per-conversation state accumulates turns and a document is emitted
+    when either
+
+    - the conversation is silent past ``gap_seconds`` of EVENT time
+      (GroupState event-time timeout against the watermark — late turns
+      inside the watermark still join their document), or
+    - ``max_turns`` accumulate (the long-conversation skew cap applied at
+      the STATE layer: a runaway conversation is cut into bounded
+      documents instead of growing state without bound — the same
+      MAX_TURNS_PER_DOC discipline as the batch assembler).
+
+    Emitted rows: (conv_id, n_turns, doc_text ordered by turn_idx,
+    closed_by in {'timeout', 'cap'}). State per key is two arrays + a
+    long — O(turns in flight) per conversation, bounded by max_turns."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_seconds * 1000
+
+    def assemble_fn(key, pdf_iter, state: GroupState):
+        conv_id = key[0]
+
+        def doc_frame(idxs, texts, closed_by):
+            order = sorted(range(len(idxs)), key=lambda i: (idxs[i], i))
+            return pd.DataFrame(
+                [
+                    {
+                        "conv_id": conv_id,
+                        "n_turns": len(idxs),
+                        "doc_text": " ".join(texts[i] for i in order),
+                        "closed_by": closed_by,
+                    }
+                ]
+            )
+
+        if state.hasTimedOut:
+            idxs, texts, _last = state.get
+            state.remove()
+            yield doc_frame(list(idxs), list(texts), "timeout")
+            return
+        idxs: list[int] = []
+        texts: list[str] = []
+        last_ms = 0
+        if state.exists:
+            s_idxs, s_texts, s_last = state.get
+            idxs, texts, last_ms = list(s_idxs), list(s_texts), int(s_last)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            idxs.extend(int(x) for x in pdf["turn_idx"])
+            texts.extend(str(x) for x in pdf["text"])
+            batch_max = int(pd.to_datetime(pdf["ts"]).max().value // 1_000_000)
+            last_ms = max(last_ms, batch_max)
+        if len(idxs) >= max_turns:
+            # order the in-flight turns by turn_idx BEFORE cutting, so cap
+            # documents slice in turn order (the batch assembler's
+            # MAX_TURNS_PER_DOC discipline), not arrival order
+            order = sorted(range(len(idxs)), key=lambda i: (idxs[i], i))
+            idxs = [idxs[i] for i in order]
+            texts = [texts[i] for i in order]
+        while len(idxs) >= max_turns:
+            # cut a full cap-sized document; remainder stays in flight
+            yield doc_frame(idxs[:max_turns], texts[:max_turns], "cap")
+            idxs, texts = idxs[max_turns:], texts[max_turns:]
+        if idxs:
+            state.update((idxs, texts, last_ms))
+            # timeout must sit strictly past the current watermark
+            state.setTimeoutTimestamp(
+                max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble_fn,
+            DOC_OUT_SCHEMA,
+            DOC_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -172,3 +172,81 @@ class TestReplayIdempotency:
         # and mention_ids stay unique (content-position ids + overwrite)
         ids = ment_t.load(spark).select("mention_id")
         assert ids.distinct().count() == n_m
+
+
+class TestStatefulAssembly:
+    """applyInPandasWithState custom stateful operator: streaming document
+    assembly with event-time timeout (watermark-driven) and a max_turns
+    state cap (SURVEY.md §2.J; the north-star's 'custom stateful
+    operators' surface)."""
+
+    def test_timeout_and_cap_emission(self, spark, tmp_path):
+        import shutil
+        import time as _time
+        from datetime import datetime
+
+        from antnre_spark.schema import TRANSCRIPTS
+
+        base = datetime(2026, 1, 1, 12, 0, 0)
+
+        def t(sec):
+            return datetime.fromtimestamp(base.timestamp() + sec)
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+
+        def drop(name, rows):
+            staging = tmp_path / f"stage_{name}"
+            spark.createDataFrame(rows, TRANSCRIPTS).coalesce(1).write.parquet(
+                str(staging)
+            )
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    shutil.copy(staging / f, in_dir / f"{name}.parquet")
+            _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+        # drop 1: conv A (4 turns, out of order on purpose) + conv D
+        # (5 turns -> cap of 3 emits immediately, 2 stay in flight)
+        drop(
+            "d1",
+            [("A", i, "user", w, None, t(i)) for i, w in
+             [(1, "b"), (0, "a"), (3, "d"), (2, "c")]]
+            + [("D", i, "user", f"w{i}", None, t(i)) for i in range(5)],
+        )
+        # drop 2: conv B 2h later -> watermark passes A/D timeouts
+        drop("d2", [("B", 0, "user", "hello", None, t(7200))])
+        # drop 3: conv C 4h later -> watermark passes B's timeout
+        drop("d3", [("C", 0, "user", "late", None, t(14400))])
+
+        turns = (
+            spark.readStream.schema(TRANSCRIPTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        docs = streaming.streaming_assemble_documents(
+            turns, gap_seconds=1800, max_turns=3, watermark="10 seconds"
+        )
+        q = (
+            docs.writeStream.format("memory")
+            .queryName("assembled_docs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        got = {
+            (r["conv_id"], r["closed_by"]): (r["n_turns"], r["doc_text"])
+            for r in spark.sql("SELECT * FROM assembled_docs").collect()
+        }
+        # A has 4 turns > max_turns=3: a cap doc of the FIRST 3 BY
+        # turn_idx (despite shuffled arrival), then the remainder times out
+        assert got[("A", "cap")] == (3, "a b c")
+        assert got[("A", "timeout")] == (1, "d")
+        # D: cap doc with the first 3, remainder timed out later
+        assert got[("D", "cap")] == (3, "w0 w1 w2")
+        assert got[("D", "timeout")] == (2, "w3 w4")
+        # B: flushed by C's watermark advance (no-data batch timeout)
+        assert got[("B", "timeout")] == (1, "hello")
+        # C: still in flight -> not emitted
+        assert ("C", "timeout") not in got and ("C", "cap") not in got

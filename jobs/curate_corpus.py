@@ -1,0 +1,142 @@
+"""Training-corpus curation job — spark-submit entry for the LLM-data
+operators (exact + MinHash near-dup dedup, quality/language filters,
+per-source quota, deterministic sampling), shipped exactly like the KG
+jobs (BASELINE.json:6 "spark-submit --py-files modules").
+
+Ships as: spark-submit --py-files kg.zip jobs/curate_corpus.py \
+    --documents <parquet> --out <dir> [--minhash-tau 0.9] \
+    [--langs en,de] [--min-tokens 5] [--max-tokens 100000] \
+    [--min-trigram-logp -3.5] [--quota 0] [--sample-rate 1.0]
+
+Stage order (cheapest-reject-first where semantics allow; every stage
+reports its drop count — no silent caps):
+  1. exact dedup: keep the min-doc_id keeper per normalized text
+  2. MinHash/LSH near-dup clusters (verified by exact word-3-gram
+     Jaccard >= tau): keep each cluster's keeper
+  3. quality gate: token-count range, language allowlist, char-trigram
+     LM floor (textops) — pure JVM column predicates
+  4. per-source quota (WindowGroupLimit map-side) + deterministic
+     md5 sample — both reproducible across runs and partitionings
+Writes curated parquet + one JSON metrics line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from antnre_spark import curate, dedup, textops  # noqa: E402
+from antnre_spark.session import get_spark  # noqa: E402
+
+
+def curate_corpus(
+    docs,
+    minhash_tau: float = 0.9,
+    langs: list[str] | None = None,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_trigram_logp: float | None = None,
+    quota: int = 0,
+    sample_rate: float = 1.0,
+):
+    """The composable core (also unit-tested directly): documents ->
+    (curated DataFrame, per-stage metrics dict). Counts force each stage
+    once; every retained frame is the input of the next stage."""
+    metrics: dict[str, int] = {"input": docs.count()}
+
+    # 1. exact dedup — join keepers back to full rows
+    keepers = dedup.exact_dedup(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    docs = docs.join(keepers, "doc_id", "left_semi")
+    metrics["after_exact_dedup"] = docs.count()
+
+    # 2. near-dup clusters: LSH candidates verified by exact Jaccard,
+    #    then connected components -> drop non-keepers
+    cand = dedup.minhash_dup_candidates(docs)
+    grams = docs.select(
+        "doc_id",
+        dedup.word_ngrams(
+            dedup.normalize_text(F.col("text")), 3
+        ).alias("g"),
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(
+        F.array_union("g_a", "g_b")
+    )
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(jac >= minhash_tau)
+        .select("id_a", "id_b")
+    )
+    losers = curate.dup_clusters(verified).filter(~F.col("is_keeper"))
+    docs = docs.join(
+        losers.select("doc_id"), "doc_id", "left_anti"
+    )
+    metrics["after_neardup_dedup"] = docs.count()
+
+    # 3. quality gate (single pass of pure column predicates)
+    scored = textops.with_trigram_logprob(
+        textops.with_language_id(textops.with_token_count(docs))
+    )
+    cond = (F.col("n_tokens") >= min_tokens) & (
+        F.col("n_tokens") <= max_tokens
+    )
+    if langs:
+        cond = cond & F.col("pred_lang").isin(langs)
+    if min_trigram_logp is not None:
+        cond = cond & (F.col("trigram_logp") >= min_trigram_logp)
+    docs = scored.filter(cond).select(*docs.columns)
+    metrics["after_quality_gate"] = docs.count()
+
+    # 4. anti-domination + sampling (both deterministic)
+    if quota > 0:
+        docs = curate.per_source_quota(docs, quota, source_col="source")
+        metrics["after_quota"] = docs.count()
+    if sample_rate < 1.0:
+        docs = curate.deterministic_sample(docs, sample_rate)
+        metrics["after_sample"] = docs.count()
+    metrics["output"] = docs.count()
+    return docs, metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--minhash-tau", type=float, default=0.9)
+    ap.add_argument("--langs", default="")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-tokens", type=int, default=100_000)
+    ap.add_argument("--min-trigram-logp", type=float, default=None)
+    ap.add_argument("--quota", type=int, default=0)
+    ap.add_argument("--sample-rate", type=float, default=1.0)
+    args = ap.parse_args()
+
+    spark = get_spark("curate-corpus")
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(args.documents)
+    curated, metrics = curate_corpus(
+        docs,
+        minhash_tau=args.minhash_tau,
+        langs=[s for s in args.langs.split(",") if s],
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        min_trigram_logp=args.min_trigram_logp,
+        quota=args.quota,
+        sample_rate=args.sample_rate,
+    )
+    curated.write.mode("overwrite").parquet(args.out)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

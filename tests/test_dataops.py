@@ -447,3 +447,81 @@ class TestIVF:
             if len(m):
                 expect[k] = [round(float(x), 6) for x in m.mean(axis=0)]
         assert np.allclose(refined, expect, atol=1e-6)
+
+
+class TestCurateCorpusJob:
+    """jobs/curate_corpus.py core: the staged curation pipeline drops
+    exactly what each stage promises, reports every drop, and is
+    deterministic (same input -> same keeper set)."""
+
+    def test_stages_drop_and_report(self, spark):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path("jobs").resolve().parent))
+        from jobs.curate_corpus import curate_corpus
+
+        rows = [
+            # exact dups: 1 keeper of 2
+            (0, "The  quick brown fox.", "en", "web", 0),
+            (1, "the quick brown fox.", "en", "web", 0),
+            # near-dup pair (one token differs over long shared text)
+            (2, "the alpha beta gamma is on the delta epsilon zeta kappa", "en", "web", 0),
+            (3, "the alpha beta gamma is on the delta epsilon zeta lambda", "en", "web", 0),
+            # too short -> quality gate
+            (4, "hi", "en", "web", 0),
+            # wrong language -> lang gate (uses predicted lang, not column)
+            (5, "der hund ist nicht in der stadt und das ist gut so", "de", "web", 0),
+            # clean survivors on a second source
+            (6, "the cat sat on the mat and the dog is in the house", "en", "books", 0),
+            (7, "a plain sentence with enough ordinary english words in it", "en", "books", 0),
+        ]
+        docs = spark.createDataFrame(
+            [(i, t, l, s) for i, t, l, s, _ in rows],
+            "doc_id long, text string, lang string, source string",
+        )
+        curated, metrics = curate_corpus(
+            docs, minhash_tau=0.5, langs=["en"], min_tokens=4
+        )
+        kept = sorted(r["doc_id"] for r in curated.collect())
+        # 0 survives (exact keeper), 2 survives (near-dup keeper),
+        # 6 and 7 survive; 1 (exact dup), 3 (near dup), 4 (short),
+        # 5 (predicted de) are dropped
+        assert kept == [0, 2, 6, 7]
+        assert metrics["input"] == 8
+        assert metrics["after_exact_dedup"] == 7
+        assert metrics["after_neardup_dedup"] == 6
+        assert metrics["after_quality_gate"] == 4
+        assert metrics["output"] == 4
+
+    def test_quota_and_sample_compose(self, spark):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path("jobs").resolve().parent))
+        from jobs.curate_corpus import curate_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (i, f"document number {i} with several plain english words", "en",
+                 "web" if i < 80 else "books")
+                for i in range(100)
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        curated, metrics = curate_corpus(
+            docs, min_tokens=2, quota=10, sample_rate=0.5
+        )
+        out = curated.collect()
+        per_source = {}
+        for r in out:
+            per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        assert all(v <= 10 for v in per_source.values())
+        assert metrics["after_quota"] == 20
+        # deterministic: a second run keeps the identical set
+        curated2, _ = curate_corpus(
+            docs, min_tokens=2, quota=10, sample_rate=0.5
+        )
+        assert sorted(r["doc_id"] for r in out) == sorted(
+            r["doc_id"] for r in curated2.collect()
+        )

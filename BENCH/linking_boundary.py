@@ -1,4 +1,5 @@
-"""Measure the hybrid-linking cutover (LOCAL_LINK_MAX_SURFACES = 100k):
+"""Measure the hybrid-linking cutover (LOCAL_LINK_MAX_SURFACES, set from
+this harness's measurements — 30k as of round 3):
 time link_entities' driver-local path vs the distributed LSH/CC path on
 the SAME synthetic corpus at the threshold boundary, so the cutover point
 is measured rather than assumed (round-2 verdict item 6).

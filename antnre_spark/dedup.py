@@ -180,8 +180,13 @@ _SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
 
 def _parse_bytes(s: str) -> int:
-    """Spark size-string ('128m', '134217728b', '134217728') -> bytes."""
+    """Spark size-string -> bytes. Accepts every spelling Spark itself
+    does for spark.sql.files.maxPartitionBytes: bare digits, one-letter
+    ('128m'), explicit-bytes ('134217728b'), and two-letter ('64MB',
+    '1GB') suffixes, any case."""
     s = s.strip().lower()
+    if s.endswith(("kb", "mb", "gb", "tb")):
+        s = s[:-1]  # 'mb' -> 'm'; the one-letter branch below finishes
     mult = 1
     if s and s[-1] in _SIZE_SUFFIX:
         mult = _SIZE_SUFFIX[s[-1]]

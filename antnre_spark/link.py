@@ -514,7 +514,7 @@ def _link_surfaces_local(rows: list, tau: float, max_bucket: int) -> list[tuple]
     # bulk-sign all surfaces in ONE matrix op — the same
     # minhash_signatures_bulk the distributed _sign_udf uses (per-doc
     # minhash_signature in a Python loop costs avoidable driver seconds
-    # near the 100k-surface local/distributed cutover)
+    # near the LOCAL_LINK_MAX_SURFACES local/distributed cutover)
     ordered = sorted(rows)
     sigs = hashing.minhash_signatures_bulk(
         [grams[(r[0], r[1])] for r in ordered]
@@ -590,14 +590,19 @@ def link_entities(
     turns unless entity diversity is extreme — and then the distributed
     path is exactly what you want.
 
-    Cache ownership: ``surfaces`` is cached (distributed path only) and
-    unpersisted HERE — the returned plans never reference it.
+    Cache ownership: ``surfaces`` is cached for the probe and unpersisted
+    HERE on both paths — the returned plans never reference it.
     ``surface_map`` is returned CACHED (the triple resolution joins and
     build_entities both read it); the caller that runs the final actions
     unpersists it (pipeline.link_job does).
     """
     surfaces = distinct_surfaces(mentions)
     spark = mentions.sparkSession
+    # cache BEFORE the probe: on the over-threshold path the probe's
+    # limit still executes the full distinct aggregation map-side, and
+    # without the cache the three distributed consumers would pay that
+    # aggregation again from scratch
+    surfaces.cache()
     if local_threshold > 0:
         # ONE probe job replaces the r2 count()+collect() pair: limit(T+1)
         # returns the COMPLETE surface set whenever it doesn't bind
@@ -606,6 +611,7 @@ def link_entities(
         # fine: _link_surfaces_local sorts before hashing.
         probe = surfaces.limit(local_threshold + 1).collect()
         if len(probe) <= local_threshold:
+            surfaces.unpersist()
             rows = [
                 (r["ent_type"], r["norm"], r["n_mentions"], r["top_surface"])
                 for r in probe
@@ -620,10 +626,9 @@ def link_entities(
             )
             surface_map.cache()
             return surface_map, build_entities(surface_map)
-    # distributed path: surfaces feeds three operators — cache it, drop it
-    # once surface_map is forced (leaving it pinned leaks executor memory
-    # across calls in a long-lived session)
-    surfaces.cache()
+    # distributed path: surfaces (already cached above) feeds three
+    # operators; dropped once surface_map is forced (leaving it pinned
+    # leaks executor memory across calls in a long-lived session)
     edges = candidate_pairs(surfaces, tau=tau, max_bucket=max_bucket)
     components = connected_components(
         edges, surfaces.select("ent_type", "norm")

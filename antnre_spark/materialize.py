@@ -141,6 +141,10 @@ def build_triples(
         .join(obj_map, ["obj_ent_type", "_obj_norm"], "inner")
     )
     if hub_subjects:
+        # the hot/cold split references `resolved` from two independent
+        # union branches — materialize it once (lineage cut) so the
+        # relations scan + both resolution joins don't execute twice
+        resolved = resolved.localCheckpoint(eager=True)
         is_hub = F.col("subj").isin(list(hub_subjects))
         return _agg_triples(
             resolved.filter(~is_hub), provenance_cap

@@ -30,8 +30,29 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_SALTS = 16
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _hashable_cols(df: DataFrame) -> list[str]:
+    """Columns xxhash64 accepts: Spark forbids hashing MapType (at any
+    nesting) — a map column anywhere in the row would fail analysis, so
+    the content-hash salt projects it out. Empty result -> callers fall
+    back to the mono-id salt (local/bench only)."""
+    return [
+        f.name for f in df.schema.fields if not _contains_map(f.dataType)
+    ]
 
 
 def salt_col(
@@ -85,7 +106,7 @@ def salted_agg(
     partial_fns = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
     merge_fns = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
     salted = df.withColumn(
-        "_salt", salt_col(n_salts, row_key, content_cols=df.columns)
+        "_salt", salt_col(n_salts, row_key, content_cols=_hashable_cols(df))
     )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[
@@ -110,7 +131,7 @@ def salted_join(
     small side across all salts, join on (keys + salt), drop the salt."""
     on = list(on)
     big_s = big.withColumn(
-        "_salt", salt_col(n_salts, row_key, content_cols=big.columns)
+        "_salt", salt_col(n_salts, row_key, content_cols=_hashable_cols(big))
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))

@@ -90,6 +90,15 @@ def streaming_assemble_documents(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = gap_seconds * 1000
+    # applyInPandasWithState hands 'ts' to the UDF as tz-NAIVE pandas
+    # datetimes rendered in the session timezone, while GroupState
+    # timeouts compare against true epoch ms — capture the session tz at
+    # plan-build time so the epoch conversion is correct on non-UTC
+    # sessions (naive .value would read naive-local AS UTC and shift
+    # every timeout by the zone offset)
+    session_tz = turns.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
 
     def assemble_fn(key, pdf_iter, state: GroupState):
         conv_id = key[0]
@@ -123,7 +132,10 @@ def streaming_assemble_documents(
                 continue
             idxs.extend(int(x) for x in pdf["turn_idx"])
             texts.extend(str(x) for x in pdf["text"])
-            batch_max = int(pd.to_datetime(pdf["ts"]).max().value // 1_000_000)
+            ts = pd.to_datetime(pdf["ts"])
+            if ts.dt.tz is None:
+                ts = ts.dt.tz_localize(session_tz)
+            batch_max = int(ts.max().value // 1_000_000)
             last_ms = max(last_ms, batch_max)
         if len(idxs) >= max_turns:
             # order the in-flight turns by turn_idx BEFORE cutting, so cap

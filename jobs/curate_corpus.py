@@ -46,15 +46,20 @@ def curate_corpus(
     sample_rate: float = 1.0,
 ):
     """The composable core (also unit-tested directly): documents ->
-    (curated DataFrame, per-stage metrics dict). Counts force each stage
-    once; every retained frame is the input of the next stage."""
+    (curated DataFrame, per-stage metrics dict). Each stage's survivors
+    are localCheckpointed (eager), so the metric count AND the next stage
+    both read the materialized result — without this, every count (and
+    the final write) would re-execute the whole uncached lineage from the
+    scan, running the expensive near-dup stage several times per job."""
     metrics: dict[str, int] = {"input": docs.count()}
 
     # 1. exact dedup — join keepers back to full rows
     keepers = dedup.exact_dedup(docs).select(
         F.col("keeper_id").alias("doc_id")
     )
-    docs = docs.join(keepers, "doc_id", "left_semi")
+    docs = docs.join(keepers, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     metrics["after_exact_dedup"] = docs.count()
 
     # 2. near-dup clusters: LSH candidates verified by exact Jaccard,
@@ -80,7 +85,7 @@ def curate_corpus(
     losers = curate.dup_clusters(verified).filter(~F.col("is_keeper"))
     docs = docs.join(
         losers.select("doc_id"), "doc_id", "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     metrics["after_neardup_dedup"] = docs.count()
 
     # 3. quality gate (single pass of pure column predicates)
@@ -94,15 +99,21 @@ def curate_corpus(
         cond = cond & F.col("pred_lang").isin(langs)
     if min_trigram_logp is not None:
         cond = cond & (F.col("trigram_logp") >= min_trigram_logp)
-    docs = scored.filter(cond).select(*docs.columns)
+    docs = scored.filter(cond).select(*docs.columns).localCheckpoint(
+        eager=True
+    )
     metrics["after_quality_gate"] = docs.count()
 
     # 4. anti-domination + sampling (both deterministic)
     if quota > 0:
-        docs = curate.per_source_quota(docs, quota, source_col="source")
+        docs = curate.per_source_quota(
+            docs, quota, source_col="source"
+        ).localCheckpoint(eager=True)
         metrics["after_quota"] = docs.count()
     if sample_rate < 1.0:
-        docs = curate.deterministic_sample(docs, sample_rate)
+        docs = curate.deterministic_sample(docs, sample_rate).localCheckpoint(
+            eager=True
+        )
         metrics["after_sample"] = docs.count()
     metrics["output"] = docs.count()
     return docs, metrics

@@ -525,3 +525,17 @@ class TestCurateCorpusJob:
         assert sorted(r["doc_id"] for r in out) == sorted(
             r["doc_id"] for r in curated2.collect()
         )
+
+
+class TestParseBytes:
+    def test_accepts_all_spark_size_spellings(self):
+        from antnre_spark.dedup import _parse_bytes
+
+        assert _parse_bytes("134217728") == 128 << 20
+        assert _parse_bytes("134217728b") == 128 << 20
+        assert _parse_bytes("128m") == 128 << 20
+        assert _parse_bytes("128M") == 128 << 20
+        assert _parse_bytes("64MB") == 64 << 20
+        assert _parse_bytes("1GB") == 1 << 30
+        assert _parse_bytes("2kb") == 2 << 10
+        assert _parse_bytes("1TB") == 1 << 40

@@ -126,3 +126,18 @@ class TestSaltSpreadsHotKey:
             spark.conf.set(
                 "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
             )
+
+
+class TestMapColumnSalt:
+    def test_salted_agg_tolerates_map_columns(self, spark):
+        """Content-hash salt must skip MapType columns (Spark forbids
+        hashing maps) instead of failing analysis — review regression."""
+        df = spark.createDataFrame(
+            [("k", 1, {"a": 1}), ("k", 2, {"b": 2})],
+            "k string, v int, m map<string,int>",
+        )
+        out = {
+            r["k"]: r["n"]
+            for r in salted_agg(df, ["k"], {"n": ("*", "count")}, n_salts=4).collect()
+        }
+        assert out == {"k": 2}

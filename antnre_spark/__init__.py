@@ -25,16 +25,19 @@ Modules map to SURVEY.md §2 operator families:
   icelite      IcebergLite snapshot/manifest table layer (§7.4)
   metrics      _markers lineage / completion-marker table (§3.3)
   pipeline     end-to-end jobs with per-partition resume
-  textops      language-ID, quality scoring, whitespace + BPE-ish token
-               counts, fingerprints
+  textops      language-ID (8 langs), quality scoring + char-trigram
+               LM proxy, whitespace + BPE-ish token counts, fingerprints
   dedup        exact / MinHash-LSH / SimHash / n-gram-Jaccard /
-               cosine-LSH document dedup (+ bucket-stats pre-flight)
+               cosine-LSH (single-set + banded multi-plane) document
+               dedup (+ bucket-stats pre-flight)
   curate       deterministic sampling, per-source quotas, dup-cluster
                keeper selection
-  simsearch    brute-force + LSH-bucketed + IVF (seeded k-means) cosine
-               top-k over embeddings
+  simsearch    brute-force + LSH-bucketed + IVF cosine top-k over
+               embeddings (md5-hash quantizer sample + distributed
+               Lloyd refresh)
   streaming    foreachBatch extraction (idempotent per-batch overwrite),
-               watermarked session windows
+               watermarked session windows, applyInPandasWithState
+               stateful document assembly
   multimodal   binary media columns: byte-capped decode batches, frame
                plans (codec kernels stubbed deterministically)
   evaluate     CoNLL04-style P/R/F1 vs the golden oracle tables
@@ -42,4 +45,4 @@ Modules map to SURVEY.md §2 operator families:
   hashing      shared deterministic MinHash/gram primitives (no pyspark)
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -312,6 +312,16 @@ def _star_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
         if new_fp == fp:
             break
         fp = new_fp
+    else:
+        # O(log^2 n) convergence makes this unreachable for any graph that
+        # fits this planet; if it fires, labels below may split components
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_star_components did not reach a fixpoint in %d rounds — "
+            "emitting labels from the last round's edges",
+            max_rounds,
+        )
     # fixpoint edges are (component_min, member): read labels off directly
     members = edges.select(
         "ent_type", F.col("b").alias("norm"), F.col("a").alias("component")

@@ -329,15 +329,24 @@ class AntNREModel:
         }
         zeros = np.zeros(hidden.shape[1], dtype=np.float32)
         # gather admissible ordered pairs, then ONE batched MLP matmul —
-        # per-pair matvecs were the hottest python loop in the whole model
+        # per-pair matvecs were the hottest python loop in the whole model.
+        # between_vec is memoized by (lo, hi): the (i,j)/(j,i) orderings
+        # share the identical segment, so this halves the mean reductions
+        # (the profile's hottest remaining cost) with bit-identical output
         pairs: list[tuple[int, int, int, int]] = []
         feats: list[np.ndarray] = []
+        between_cache: dict[tuple[int, int], np.ndarray] = {}
         for i, mi in enumerate(mentions):
             for j, mj in enumerate(mentions):
                 if i == j or abs(mi.begin - mj.begin) > MAX_PAIR_DISTANCE:
                     continue
                 lo, hi = min(mi.end, mj.end), max(mi.begin, mj.begin)
-                between_vec = hidden[lo:hi].mean(axis=0) if hi > lo else zeros
+                between_vec = between_cache.get((lo, hi))
+                if between_vec is None:
+                    between_vec = (
+                        hidden[lo:hi].mean(axis=0) if hi > lo else zeros
+                    )
+                    between_cache[(lo, hi)] = between_vec
                 pairs.append((i, j, lo, hi))
                 feats.append(
                     np.concatenate([span_vecs[i], span_vecs[j], between_vec])
@@ -347,16 +356,20 @@ class AntNREModel:
         X = np.stack(feats)  # [P, 6h]
         logits_all = np.maximum(X @ W1 + b1, 0.0) @ W2 + b2  # [P, n_rels]
         out: list[Relation] = []
+        trig_cache: dict[tuple[int, int], np.ndarray] = {}
         for (i, j, lo, hi), logits in zip(pairs, logits_all):
             mi, mj = mentions[i], mentions[j]
             ti = ENT_TYPES.index(mi.ent_type)
             tj = ENT_TYPES.index(mj.ent_type)
             logits = logits + pair_bias[ti, tj] + REL_VALIDITY[ti, tj]
-            trig_sum = (
-                trig[token_ids[lo:hi]].sum(axis=0)
-                if hi > lo
-                else np.zeros(N_RELS, dtype=np.float32)
-            )
+            trig_sum = trig_cache.get((lo, hi))
+            if trig_sum is None:
+                trig_sum = (
+                    trig[token_ids[lo:hi]].sum(axis=0)
+                    if hi > lo
+                    else np.zeros(N_RELS, dtype=np.float32)
+                )
+                trig_cache[(lo, hi)] = trig_sum
             trig_sum = np.where(REL_VALIDITY[ti, tj] < 0, 0.0, trig_sum)
             if trig_sum[1:].max(initial=0.0) <= 0.0:
                 logits[0] += 6.0  # no admissible trigger between -> None

@@ -250,3 +250,75 @@ class TestStatefulAssembly:
         assert got[("B", "timeout")] == (1, "hello")
         # C: still in flight -> not emitted
         assert ("C", "timeout") not in got and ("C", "cap") not in got
+
+    def test_state_survives_restart(self, spark, tmp_path):
+        """GroupState persists in the checkpoint: a stream stopped after
+        the first drop and RESTARTED as a new query (same checkpoint) must
+        resume the in-flight conversation and emit it on timeout — the
+        resume guarantee a long-running 10^12-turn ingest depends on."""
+        import shutil
+        import time as _time
+        from datetime import datetime
+
+        from antnre_spark.schema import TRANSCRIPTS
+
+        base = datetime(2026, 3, 1, 9, 0, 0)
+
+        def t(sec):
+            return datetime.fromtimestamp(base.timestamp() + sec)
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        out_dir = str(tmp_path / "docs_out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drop(name, rows):
+            staging = tmp_path / f"stage_{name}"
+            spark.createDataFrame(rows, TRANSCRIPTS).coalesce(1).write.parquet(
+                str(staging)
+            )
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    shutil.copy(staging / f, in_dir / f"{name}.parquet")
+            _time.sleep(1.1)
+
+        def run_stream():
+            turns = (
+                spark.readStream.schema(TRANSCRIPTS)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(in_dir))
+            )
+            docs = streaming.streaming_assemble_documents(
+                turns, gap_seconds=600, max_turns=100, watermark="5 seconds"
+            )
+            q = (
+                docs.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        # phase 1: only conversation R's turns exist; it stays in flight
+        drop("p1", [("R", i, "user", w, None, t(i)) for i, w in
+                    [(1, "two"), (0, "one"), (2, "three")]])
+        run_stream()
+        first = spark.read.schema(
+            "conv_id string, n_turns int, doc_text string, closed_by string"
+        ).parquet(out_dir)
+        assert first.filter(F.col("conv_id") == "R").count() == 0
+
+        # phase 2: later drops advance the watermark past R's timeout;
+        # a brand-new query on the same checkpoint must recover R's state
+        drop("p2", [("S", 0, "user", "later", None, t(3600))])
+        drop("p3", [("T", 0, "user", "latest", None, t(7200))])
+        run_stream()
+        rows = {
+            r["conv_id"]: (r["n_turns"], r["doc_text"], r["closed_by"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert rows["R"] == (3, "one two three", "timeout")
+        assert rows["S"][2] == "timeout"  # flushed by T's watermark
+        assert "T" not in rows            # still in flight

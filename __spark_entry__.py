@@ -1580,6 +1580,161 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 # ---- multimodal ---------------------------------------------------------
 
+def q_ss_ivf_topk_batch(spark, sf_dir):
+    """Bulk ANN (r3 verdict task 3): kNN for EVERY row of a query table —
+    queries assigned to their nprobe IVF cells JVM-side, one equi-join on
+    cell against the cell-partitioned index, per-query window top-k
+    (simsearch.ivf_topk_batch). The exact brute-force per-query top-k —
+    formerly the separate ss_topk_cosine demo — is merged in as the
+    verification leg: ``in_exact`` marks whether each ANN hit is in the
+    true top-k, so recall is visible per row. FULLY oracle-checked:
+    DuckDB replays the identical centroid literals, cell assignment,
+    per-query probe ranking, and both window top-ks."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.simsearch import (
+        ivf_index,
+        ivf_topk_batch,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = kmeans_centroids(e)
+    idx = ivf_index(e, cents)
+    queries = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_topk_batch(idx, queries, cents, k=5, nprobe=2)
+
+    # exact-verify leg: brute-force per-query top-k membership (the
+    # ss_topk_cosine scan, batched). crossJoin is the POINT here — it is
+    # the exact baseline the ANN path is judged against, bounded by
+    # |queries| x |corpus|, and only ever run at verification scale.
+    from antnre_spark.simsearch import _norm
+
+    q2 = queries.select(
+        "query_id",
+        F.col("embedding").alias("_qv"),
+        _norm(F.col("embedding")).alias("_qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("_qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        q2.crossJoin(e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("_n")))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot / (F.col("_n") * F.col("_qn")), 6).alias("cosine"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "vec_id", F.lit(True).alias("_hit"))
+    )
+    return approx.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        "rank",
+        F.coalesce("_hit", F.lit(False)).alias("in_exact"),
+    )
+
+
+def _ss_ivf_batch_sql(
+    sf_dir: str | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    qmod: int = 40,
+) -> str:
+    """DuckDB twin of q_ss_ivf_topk_batch: identical centroid literals
+    (shared numpy k-means over the same md5-hash sample), identical
+    squared-distance list (so cell assignment and per-query probe ranking
+    agree bit-for-bit), identical window top-ks on the rounded cosine."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from antnre_spark.simsearch import kmeans_from_points
+
+    sf = sf_dir or _oracle_sf_dir()
+    t = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    t["_h"] = t["vec_id"].map(
+        lambda i: hashlib.md5(str(int(i)).encode()).hexdigest()
+    )
+    t = t.sort_values(["_h", "vec_id"]).head(256)
+    X = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
+    cents = kmeans_from_points(X, n_centroids)
+
+    dists = []
+    for c in cents:
+        arr = "[" + ", ".join(repr(x) for x in c) + "]"
+        cc = float(sum(x * x for x in c))
+        dists.append(
+            f"list_sum(list_transform(v, x -> x*x)) - "
+            f"2*list_dot_product(v, {arr}) + '{cc!r}'::DOUBLE"
+        )
+    dist_list = "[" + ",\n ".join(dists) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+a AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {dist_list} AS dl
+  FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, dl AS qdl
+      FROM a WHERE vec_id % {qmod} = 0),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, gs.i AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY q.qdl[gs.i], gs.i) AS pr
+    FROM q, generate_series(1, {n_centroids}) AS gs(i))
+  WHERE pr <= {nprobe}),
+idx AS (SELECT vec_id, v, nrm,
+               list_indexof(dl, list_aggregate(dl, 'min')) AS cell
+        FROM a),
+approx AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM (
+    SELECT p.query_id, i.vec_id,
+           round(list_dot_product(i.v, q.qv) / (i.nrm * q.qn), 6) AS cosine
+    FROM probes p
+    JOIN idx i ON p.cell = i.cell
+    JOIN q ON q.query_id = p.query_id)),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(a.v, q.qv) / (a.nrm * q.qn), 6)
+                      DESC, a.vec_id ASC) AS r
+    FROM q, a)
+  WHERE r <= {k})
+SELECT ap.query_id, ap.vec_id, ap.cosine, ap.rank,
+       (ex.vec_id IS NOT NULL) AS in_exact
+FROM approx ap
+LEFT JOIN exact ex
+  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+WHERE ap.rank <= {k}
+"""
+
+
 def q_mm_media_stats(spark, sf_dir):
     """documents-as-media: binary payload column + per-kind byte stats
     (antnre_spark.multimodal.media_stats over a derived media table)."""
@@ -1605,12 +1760,16 @@ FROM documents GROUP BY source
 
 
 def q_mm_features(spark, sf_dir):
-    """mapInPandas feature extraction over binary payloads (stubbed decode
-    kernel — deterministic; schema/batching real). The demo projects the
-    SQL-expressible columns (byte count + sha256 fingerprint) so the whole
-    Arrow round-trip is oracle-checked; the stub ``feature`` vector itself
-    is covered by tests/test_dataops.py (not SQL-expressible, and the
-    driver's canonicalizer cannot hash array columns)."""
+    """mapInPandas feature extraction over binary payloads. The decode
+    kernels are REAL pure-numpy parsers (PPM P6 images, RIFF/WAV PCM16
+    audio — multimodal.decode_ppm/decode_wav, r4); these text payloads
+    are not valid containers, so they exercise the deterministic
+    byte-stat fallback path (decoded=false). The demo projects the
+    SQL-expressible columns (byte count + sha256 fingerprint) so the
+    whole Arrow round-trip is oracle-checked; the real pixel/sample
+    feature values are covered by tests/test_dataops.py
+    TestRealDecodeKernels (not SQL-expressible, and the driver's
+    canonicalizer cannot hash array columns)."""
     import sys
 
     sys.path.insert(0, REPO)
@@ -1907,7 +2066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cosine_exact": q_dd_cosine_exact,
         "dd_cosine_lsh": q_dd_cosine_lsh,
         "dd_cosine_lsh_banded": q_dd_cosine_lsh_banded,
-        "ss_topk_cosine": q_ss_topk_cosine,
+        # ss_topk_cosine (exact scan) was merged INTO ss_ivf_topk_batch as
+        # its in_exact verification leg (r3 verdict task 3) — the 50-slot
+        # driver cap means a new entry must absorb an old one
+        "ss_ivf_topk_batch": q_ss_ivf_topk_batch,
         "ss_bucketed_topk": q_ss_bucketed_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
         "mm_media_stats": q_mm_media_stats,
@@ -1916,7 +2078,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return base
 
 
+# oracle_sql() output cache, keyed by the sf dir the data-dependent
+# builders read: the model-forward literals (_kg_triples_sql /
+# _kg_mentions_sql via _pool_extract) and the kmeans/plane literals are
+# pure functions of (code, sf_dir), so a driver that calls oracle_sql()
+# once per query re-uses the first build instead of replaying the model
+# forward each time (r3 verdict task 10).
+_ORACLE_SQL_CACHE: dict[str, dict[str, str]] = {}
+
+
 def oracle_sql() -> dict[str, str]:
+    sf = _oracle_sf_dir()
+    cached = _ORACLE_SQL_CACHE.get(sf)
+    if cached is not None:
+        return dict(cached)
+    return dict(_build_oracle_sql(sf))
+
+
+def _build_oracle_sql(sf: str) -> dict[str, str]:
     import sys as _sys
 
     # these oracles read the oracle sf's parquet at build time (embedding
@@ -1932,6 +2111,7 @@ def oracle_sql() -> dict[str, str]:
         ("dd_cosine_lsh_banded", _cosine_lsh_banded_sql),
         ("ss_bucketed_topk", _ss_bucketed_sql),
         ("ss_ivf_topk", _ss_ivf_sql),
+        ("ss_ivf_topk_batch", _ss_ivf_batch_sql),
     ):
         try:
             data_dependent[name] = builder()
@@ -1942,7 +2122,7 @@ def oracle_sql() -> dict[str, str]:
                 file=_sys.stderr,
                 flush=True,
             )
-    return {
+    out = {
         **data_dependent,
         "kg_extract_mentions": _kg_mentions_sql(),
         "kg_refined_mentions": _kg_mentions_sql(refine=True),
@@ -1986,7 +2166,8 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_candidates": SQL_DD_MINHASH,
         "dd_simhash_pairs": _simhash_sql(3),
         "dd_cosine_exact": SQL_DD_COSINE,
-        "ss_topk_cosine": SQL_SS_TOPK,
         "mm_media_stats": SQL_MM_STATS,
         "mm_features": SQL_MM_FEATURES,
     }
+    _ORACLE_SQL_CACHE[sf] = out
+    return out

@@ -18,8 +18,10 @@ quadratically explode; AQE skew-join splitting covers residual imbalance.
 Pipeline: mentions -> G1 normalize -> distinct surfaces -> G2 MinHash sigs
 (pandas UDF over antnre_spark/hashing, shared with the oracle) -> G3 band
 explode -> G4 candidate self-join per band -> G5 exact-Jaccard verify ->
-G6 iterative min-label-propagation connected components (driver loop,
-localCheckpoint per iteration) -> G7 canonical representative + entity_id.
+G6 iterative min-label-propagation connected components (driver loop, a
+lineage cut per iteration — localCheckpoint on local mode, reliable
+df.checkpoint when a checkpoint dir is configured; see _cut_lineage) ->
+G7 canonical representative + entity_id.
 """
 
 from __future__ import annotations
@@ -64,6 +66,25 @@ LOCAL_LINK_MAX_SURFACES = 30_000
 def normalize_surface(col: F.Column) -> F.Column:
     """G1: whitespace-collapse + trim + lowercase. Pure built-ins."""
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate lineage between CC-loop iterations.
+
+    localCheckpoint stores blocks only in executor memory/disk: fast, but
+    an executor lost mid-loop makes the truncated lineage UNRECOVERABLE
+    and kills the whole job — acceptable on local[N], not on a 1000-
+    executor cluster where some executor loss per hour is the norm. When
+    the session has a reliable checkpoint dir configured
+    (``spark.sparkContext.setCheckpointDir(hdfs_or_dbfs_path)`` — done
+    once at job setup, or via connected_components(checkpoint_dir=...)),
+    use ``df.checkpoint()`` instead: blocks are replicated to the fault-
+    tolerant store, and a lost executor's partitions re-read from there.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 _SIG_SCHEMA = StructType(
@@ -253,8 +274,8 @@ def _star_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = _cut_lineage(edges)
 
     def fingerprint(e: DataFrame) -> tuple:
         # bit_xor, not sum: ANSI mode makes a long sum of xxhash64 values
@@ -306,7 +327,7 @@ def _star_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
             )
             .distinct()
         )
-        new_edges = small.localCheckpoint(eager=True)
+        new_edges = _cut_lineage(small)
         new_fp = fingerprint(new_edges)
         edges = new_edges
         if new_fp == fp:
@@ -342,6 +363,7 @@ def connected_components(
     max_iters: int = CC_MAX_ITERS,
     local_threshold: int = LOCAL_CC_MAX_EDGES,
     algorithm: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """G6: min-label propagation until fixpoint.
 
@@ -367,11 +389,21 @@ def connected_components(
     never silently split; 'star' forces large-star/small-star from the
     start (adversarial graphs, tests); 'label_prop' keeps the r2
     warn-only behavior for benchmarking the raw loop.
+
+    ``checkpoint_dir``: when set, it is installed as the context's
+    RELIABLE checkpoint dir (HDFS/S3/DBFS path on a real cluster) and
+    every lineage cut in the loop uses ``df.checkpoint()`` instead of
+    ``localCheckpoint`` — executor loss mid-loop then recovers from the
+    fault-tolerant store instead of killing the job (see _cut_lineage).
+    Leaving it None keeps local-mode behavior (and respects a dir the
+    caller already installed via ``sc.setCheckpointDir``).
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     sym = edges.select("ent_type", F.col("norm_a").alias("src"), F.col("norm_b").alias("dst")).unionByName(
         edges.select("ent_type", F.col("norm_b").alias("src"), F.col("norm_a").alias("dst"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _cut_lineage(sym)
 
     if local_threshold > 0:
         # sym is checkpointed, so this count does not recompute the LSH
@@ -398,7 +430,7 @@ def connected_components(
             F.coalesce("component", F.col("norm")).alias("component"),
         )
     labels = edge_nodes.select("ent_type", "norm", F.col("norm").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _cut_lineage(labels)
     if labels.count() == 0:
         return nodes.select("ent_type", "norm", F.col("norm").alias("component"))
 
@@ -431,7 +463,7 @@ def connected_components(
     changed = -1
     for _ in range(max_iters // 2 + 1):
         prev = labels
-        labels = step(step(labels)).localCheckpoint(eager=True)
+        labels = _cut_lineage(step(step(labels)))
         changed = (
             labels.join(prev.withColumnRenamed("component", "prev_comp"),
                         ["ent_type", "norm"])

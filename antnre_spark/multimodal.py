@@ -7,16 +7,20 @@ columns are contiguous and column-pruned away unless selected). Decoding /
 feature extraction runs as Arrow-batched mapInPandas so bytes cross the
 JVM<->Python boundary once per batch, never per row.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode kernels are stubbed behind ``_HAS_CODECS`` with a deterministic
-fake (documented, seeded from the payload bytes) — the Spark-side plumbing
-(schema, batch shape, partitioning, size capping) is real and tested.
+Decode kernels (r3 verdict task 4): REAL pure-numpy parsers for public
+container formats — PPM P6 (binary RGB image) and RIFF/WAV PCM16 (audio).
+No external codec library: both formats are fully specified by public
+documentation (netpbm man pages; the RIFF/WAVE chunk layout), so the
+parsers decode genuine pixel/sample arrays and the features below are real
+channel/sample statistics. Payloads that are not one of these formats (or
+are corrupt) deterministically fall back to byte-level statistics with
+``decoded = false`` — a curation job filters or routes on that flag
+instead of crashing mid-corpus.
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -26,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -33,13 +38,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # noqa: F401
-
-    _HAS_CODECS = True
-except ImportError:
-    _HAS_CODECS = False
 
 MEDIA_SCHEMA = StructType(
     [
@@ -59,6 +57,7 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("content_sha", StringType(), False),
+        StructField("decoded", BooleanType(), False),
         StructField("feature", ArrayType(DoubleType(), False), False),
     ]
 )
@@ -67,16 +66,185 @@ FEATURE_DIM = 16
 MAX_BATCH_BYTES = 64 << 20  # re-chunk cap: bytes per decode batch
 
 
-def _fake_decode_feature(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real decode+embed kernel: FEATURE_DIM
-    floats derived from rolling crc32 of the payload. Replaced wholesale
-    when codecs exist; the pipeline shape does not change."""
-    out = np.zeros(FEATURE_DIM, dtype=np.float64)
-    h = 0
-    for i in range(FEATURE_DIM):
-        h = zlib.crc32(payload[i::FEATURE_DIM] or b"\x00", h)
-        out[i] = (h % 2000) / 1000.0 - 1.0
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Parse a binary PPM (netpbm P6) image into an (H, W, 3) uint8 array.
+
+    Header grammar per the public netpbm spec: 'P6', then width, height,
+    maxval as ASCII decimals separated by whitespace, '#' comments allowed
+    between tokens, a single whitespace byte after maxval, then
+    width*height*3 raw bytes (maxval <= 255 -> one byte per sample).
+    Returns None for anything that does not parse (caller falls back)."""
+    if not payload.startswith(b"P6"):
+        return None
+    pos = 2
+    fields: list[int] = []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < n and payload[end : end + 1].isdigit():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(fields) < 3 or pos >= n or not payload[pos : pos + 1].isspace():
+        return None
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    need = w * h * 3
+    if n - pos < need:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Parse a RIFF/WAVE PCM16 file into ((n_samples, n_channels) int16,
+    sample_rate). Walks the public RIFF chunk layout ('fmt ' then 'data',
+    other chunks skipped); only uncompressed PCM (format tag 1) with
+    16-bit samples is accepted. Returns None otherwise."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    channels = rate = bits = None
+    data: bytes | None = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag != 1:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not channels or not rate or bits != 16 or data is None:
+        return None
+    usable = len(data) - (len(data) % (2 * channels))
+    if usable <= 0:
+        return None
+    samples = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, channels)
+    return samples, rate
+
+
+def _image_feature(img: np.ndarray) -> np.ndarray:
+    """Real pixel statistics of a decoded (H, W, 3) image: per-channel
+    mean/std, luma mean/std/min/max, mean |horizontal gradient| of luma
+    (sharpness proxy), width/height/aspect."""
+    h, w = img.shape[0], img.shape[1]
+    px = img.astype(np.float64)
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    grad = (
+        float(np.mean(np.abs(np.diff(luma, axis=1)))) if w > 1 else 0.0
+    )
+    out = np.array(
+        [
+            float(w),
+            float(h),
+            float(w) / float(h),
+            float(px[..., 0].mean()),
+            float(px[..., 1].mean()),
+            float(px[..., 2].mean()),
+            float(px[..., 0].std()),
+            float(px[..., 1].std()),
+            float(px[..., 2].std()),
+            float(luma.mean()),
+            float(luma.std()),
+            float(luma.min()),
+            float(luma.max()),
+            grad,
+            0.0,
+            0.0,
+        ],
+        dtype=np.float64,
+    )
     return out
+
+
+def _audio_feature(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Real sample statistics of decoded PCM16 audio: channel count,
+    rate, length, duration, mean/std/RMS/peak of the (channel-averaged)
+    signal, zero-crossing rate, per-channel energy split."""
+    x = samples.astype(np.float64).mean(axis=1)  # mono mix
+    n = len(x)
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    ch_energy = float(np.mean(samples.astype(np.float64) ** 2))
+    out = np.array(
+        [
+            float(samples.shape[1]),
+            float(rate),
+            float(n),
+            float(n) / float(rate),
+            float(x.mean()),
+            float(x.std()),
+            float(np.sqrt(np.mean(x**2))),
+            float(np.max(np.abs(x))) if n else 0.0,
+            zc,
+            ch_energy,
+            float(x.min()) if n else 0.0,
+            float(x.max()) if n else 0.0,
+            0.0,
+            0.0,
+            0.0,
+            0.0,
+        ],
+        dtype=np.float64,
+    )
+    return out
+
+
+def _byte_stat_feature(payload: bytes) -> np.ndarray:
+    """Deterministic fallback for payloads that are not a supported
+    container (or are corrupt): byte-level statistics — still useful
+    curation signal (entropy separates compressed media from text), and
+    the row carries decoded=false so jobs can route it."""
+    b = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    counts = np.bincount(b, minlength=256).astype(np.float64)
+    p = counts / counts.sum()
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    out = np.zeros(FEATURE_DIM, dtype=np.float64)
+    out[:6] = [
+        float(len(b)),
+        float(b.mean()),
+        float(b.std()),
+        float(b.min()),
+        float(b.max()),
+        entropy,
+    ]
+    out[6] = float((counts > 0).sum())
+    return out
+
+
+def decode_feature(kind: str, payload: bytes) -> tuple[np.ndarray, bool]:
+    """One media item -> (FEATURE_DIM float64 feature, decoded flag).
+    Container sniffing is by magic bytes, not the kind column — a
+    mislabeled row still decodes; kind only matters for routing."""
+    if payload.startswith(b"P6"):
+        img = decode_ppm(payload)
+        if img is not None:
+            return _image_feature(img), True
+    elif payload[:4] == b"RIFF":
+        wav = decode_wav(payload)
+        if wav is not None:
+            return _audio_feature(*wav), True
+    return _byte_stat_feature(payload), False
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -98,12 +266,9 @@ def extract_features(media: DataFrame) -> DataFrame:
             bounds.append((start, len(pdf)))
             for lo, hi in bounds:
                 chunk = pdf.iloc[lo:hi]
-                if _HAS_CODECS:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real decode kernels go here (PIL/librosa/ffmpeg)"
-                    )
-                feats = [
-                    _fake_decode_feature(bytes(p)) for p in chunk["payload"]
+                decoded_pairs = [
+                    decode_feature(k, bytes(p))
+                    for k, p in zip(chunk["kind"], chunk["payload"])
                 ]
                 yield pd.DataFrame(
                     {
@@ -114,7 +279,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                             hashlib.sha256(bytes(p)).hexdigest()[:16]
                             for p in chunk["payload"]
                         ],
-                        "feature": feats,
+                        "decoded": [d for _f, d in decoded_pairs],
+                        "feature": [f for f, _d in decoded_pairs],
                     }
                 )
 
@@ -124,7 +290,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts_ms) —
     pure column math (sequence over duration), no decode. The decode of
-    each planned frame is the stubbed kernel above."""
+    each planned frame is the kernel above."""
     # duration must be strictly positive: sequence(0, -1, step>0) throws at
     # runtime, so a zero-length video row would fail the whole job
     vids = media.filter(F.col("kind") == "video").filter(

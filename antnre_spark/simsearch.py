@@ -173,10 +173,17 @@ def refine_centroids(
     corpora where quantizer quality beats last-ulp reproducibility."""
     dim = len(centroids[0])
     cents = [list(c) for c in centroids]
+    # only full-dimension, non-null vectors participate: a null embedding
+    # would yield a null cell (driver TypeError on cents[None - 1]) and a
+    # short vector makes F.element_at(v, i+1) throw under ANSI mode —
+    # same hygiene as cosine_dup_pairs_banded's nrm > 0 pre-filter
+    clean = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
     for _ in range(rounds):
         v = F.col(vec_col)
         agg = (
-            df.select(ivf_cell(v, cents).alias("cell"), v.alias("v"))
+            clean.select(ivf_cell(v, cents).alias("cell"), v.alias("v"))
             .groupBy("cell")
             .agg(
                 F.count("*").alias("n"),
@@ -188,6 +195,8 @@ def refine_centroids(
             .collect()
         )
         for r in agg:
+            if r["cell"] is None or not r["n"]:
+                continue
             cents[r["cell"] - 1] = [
                 round(float(r[f"s{i}"] / r["n"]), 6) for i in range(dim)
             ]
@@ -291,6 +300,91 @@ def ivf_topk(
         cand.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_probe_cells(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """Array of the ``nprobe`` cell ids (1-based) nearest to ``vec`` —
+    the same squared-distance literals the index uses, ranked by
+    (distance asc, cell id asc). Pure column math: the struct sort orders
+    by field position, so ties break to the lower cell id in every
+    engine (the DuckDB oracle ranks with row_number() over the identical
+    distance list)."""
+    d = _sq_dists(vec, centroids)
+    pairs = F.transform(
+        d,
+        lambda x, i: F.struct(
+            x.alias("d"), (i + F.lit(1)).cast("int").alias("c")
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["c"]
+    )
+
+
+def ivf_topk_batch(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Bulk ANN (r3 verdict task 3): kNN for EVERY row of a query table —
+    the cross-corpus retrieval shape a training-data pipeline actually
+    runs ("find the nearest corpus docs for each eval prompt"), which the
+    single-vector ivf_topk cannot express without a driver loop.
+
+    Plan shape, built for 100 TB:
+      1. each query row is assigned its nprobe nearest cells JVM-side
+         (ivf_probe_cells over the same centroid literals as the index)
+         and EXPLODED to one row per probe — queries grow by nprobe, never
+         by corpus size;
+      2. one equi-join on ``cell`` against the cell-partitioned index —
+         when the index table is stored partitioned by cell (ivf_index
+         docstring), only the probed cells' partitions are scanned, and
+         the shuffle co-partitions both sides on the cell key; a skewed
+         cell (dense region of embedding space) splits under AQE skew
+         handling rather than serializing on one task;
+      3. exact cosine on the joined pairs, then per-query top-k via
+         row_number over (cosine desc, id asc) — Spark turns the
+         rank-filter into WindowGroupLimit, so each shuffle partition
+         keeps k rows per query instead of materializing every candidate.
+
+    Returns (query_id, id, cosine, rank), rank 1..k. Query rows with a
+    null or wrong-dimension vector are dropped (same hygiene as
+    refine_centroids)."""
+    dim = len(centroids[0])
+    qv = F.col(vec_col)
+    q = (
+        queries.filter(qv.isNotNull() & (F.size(qv) == dim))
+        .select(
+            F.col(query_id_col),
+            qv.alias("_qv"),
+            _norm(qv).alias("_qn"),
+            F.explode(ivf_probe_cells(qv, centroids, nprobe)).alias("cell"),
+        )
+    )
+    joined = q.join(index, "cell")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = F.round(dot / (F.col("norm") * F.col("_qn")), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select(F.col(query_id_col), F.col(id_col), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -290,6 +290,127 @@ class TestMultimodal:
         stats = {r["kind"]: r["n_items"] for r in multimodal.media_stats(media).collect()}
         assert stats == {"image": 1, "audio": 1, "video": 1}
 
+    def test_fake_payloads_flagged_undecoded(self, media):
+        out = multimodal.extract_features(media).collect()
+        assert all(r["decoded"] is False for r in out)
+
+
+def _make_ppm(w=4, h=3):
+    """Tiny deterministic P6 image with a header comment: pixel (x, y) =
+    (x*60, y*80, (x+y)*30)."""
+    import numpy as np
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (x * 60, y * 80, (x + y) * 30)
+    header = f"P6\n# test image\n{w} {h}\n255\n".encode()
+    return header + img.tobytes(), img
+
+
+def _make_wav(rate=8000, n=64, channels=1):
+    """Minimal RIFF/WAVE PCM16 file: one fmt + one data chunk, samples =
+    a deterministic int16 ramp."""
+    import numpy as np
+
+    samples = ((np.arange(n * channels) % 200) * 100 - 10000).astype("<i2")
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    riff = b"WAVE" + chunks
+    payload = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    return payload, samples.reshape(-1, channels)
+
+
+class TestRealDecodeKernels:
+    """r3 verdict task 4: the decode kernels parse REAL public container
+    formats (PPM P6, RIFF/WAV PCM16) with pure numpy — features are
+    genuine pixel/sample statistics, verified against direct numpy
+    computation on the same arrays."""
+
+    def test_ppm_roundtrip(self):
+        import numpy as np
+
+        payload, img = _make_ppm()
+        got = multimodal.decode_ppm(payload)
+        assert got is not None and np.array_equal(got, img)
+
+    def test_ppm_rejects_garbage(self):
+        assert multimodal.decode_ppm(b"P6\n4 3\n255") is None  # truncated
+        assert multimodal.decode_ppm(b"\x89PNG whatever") is None
+        assert multimodal.decode_ppm(b"P6\n0 3\n255\n") is None
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        payload, samples = _make_wav(channels=2)
+        got = multimodal.decode_wav(payload)
+        assert got is not None
+        arr, rate = got
+        assert rate == 8000 and np.array_equal(arr, samples)
+
+    def test_wav_rejects_non_pcm16(self):
+        payload, _ = _make_wav()
+        # flip the fmt tag to 3 (IEEE float) — must be rejected
+        bad = bytearray(payload)
+        bad[20] = 3
+        assert multimodal.decode_wav(bytes(bad)) is None
+        assert multimodal.decode_wav(b"RIFF tiny") is None
+
+    def test_image_features_are_real_pixel_stats(self, spark):
+        import numpy as np
+
+        payload, img = _make_ppm()
+        media = spark.createDataFrame(
+            [("p1", "image", payload, "image/x-portable-pixmap", 4, 3, None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        r = multimodal.extract_features(media).collect()[0]
+        assert r["decoded"] is True
+        f = r["feature"]
+        px = img.astype(np.float64)
+        assert f[0] == 4.0 and f[1] == 3.0
+        assert f[3] == pytest.approx(px[..., 0].mean())
+        assert f[6] == pytest.approx(px[..., 0].std())
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        assert f[9] == pytest.approx(luma.mean())
+        assert f[13] == pytest.approx(np.mean(np.abs(np.diff(luma, axis=1))))
+
+    def test_audio_features_are_real_sample_stats(self, spark):
+        import numpy as np
+
+        payload, samples = _make_wav()
+        media = spark.createDataFrame(
+            [("w1", "audio", payload, "audio/wav", None, None, None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        r = multimodal.extract_features(media).collect()[0]
+        assert r["decoded"] is True
+        f = r["feature"]
+        x = samples.astype(np.float64).mean(axis=1)
+        assert f[0] == 1.0 and f[1] == 8000.0 and f[2] == float(len(x))
+        assert f[4] == pytest.approx(x.mean())
+        assert f[6] == pytest.approx(np.sqrt(np.mean(x**2)))
+
+    def test_mislabeled_kind_still_decodes(self, spark):
+        """Sniffing is by magic bytes: a PPM payload labeled 'audio'
+        decodes as an image anyway (kind is routing metadata, not truth)."""
+        payload, _img = _make_ppm()
+        media = spark.createDataFrame(
+            [("x1", "audio", payload, "application/octet-stream", None, None, None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        r = multimodal.extract_features(media).collect()[0]
+        assert r["decoded"] is True and r["feature"][0] == 4.0
+
 
 class TestCuration:
     def test_deterministic_sample_stable_and_proportional(self, spark):

@@ -265,3 +265,57 @@ class TestHybridLinking:
         run_once()
         after = spark.sparkContext._jsc.getPersistentRDDs().size()
         assert after <= baseline
+
+
+class TestReliableCheckpoint:
+    """r3 verdict task 2: with a reliable checkpoint dir configured, the
+    CC loops must survive total block loss (the executor-failure model:
+    localCheckpoint blocks live only in executor memory, so unpersisting
+    every persistent RDD and re-running the action simulates losing the
+    executors that held them — reliable checkpoints recompute from disk,
+    local ones cannot)."""
+
+    @pytest.mark.parametrize("algorithm", ["auto", "star"])
+    def test_cc_survives_block_loss_with_reliable_dir(
+        self, spark, tmp_path, algorithm
+    ):
+        sc = spark.sparkContext
+        names = [f"n{i:02d}" for i in range(8)]
+        edges = spark.createDataFrame(
+            [("T", names[i], names[i + 1]) for i in range(7)],
+            ["ent_type", "norm_a", "norm_b"],
+        )
+        nodes = spark.createDataFrame(
+            [("T", n) for n in names], ["ent_type", "norm"]
+        )
+        ckdir = str(tmp_path / f"ck_{algorithm}")
+        try:
+            labels = link.connected_components(
+                edges,
+                nodes,
+                local_threshold=0,
+                algorithm=algorithm,
+                checkpoint_dir=ckdir,
+            )
+            got = {r["norm"]: r["component"] for r in labels.collect()}
+            assert got == {n: "n00" for n in names}
+            # evidence the reliable path actually ran: rdd files on disk
+            import pathlib
+
+            ckfiles = [
+                p for p in pathlib.Path(ckdir).rglob("*") if p.is_file()
+            ]
+            assert ckfiles, "no reliable checkpoint files were written"
+            # kill the lineage: drop EVERY persisted block, then re-run
+            # the action. localCheckpoint-only plans die here; reliable
+            # checkpoints re-read from the checkpoint store.
+            for jrdd in sc._jsc.getPersistentRDDs().values():
+                jrdd.unpersist()
+            spark.catalog.clearCache()
+            again = {r["norm"]: r["component"] for r in labels.collect()}
+            assert again == got
+        finally:
+            # unset for the rest of the session (Option(null) -> None on
+            # the scala side), so later tests keep fast localCheckpoints
+            sc.setCheckpointDir(None)
+            assert sc.getCheckpointDir() is None

@@ -872,13 +872,20 @@ FROM documents
 # ---- text analysis ------------------------------------------------------
 
 def q_t_langid(spark, sf_dir):
+    """Trained char-trigram naive-Bayes language ID (r4, 14 languages —
+    textops.language_id_ngram): exact integer micro-logprob sums via a
+    broadcast gram-table join, so the DuckDB twin (identical VALUES
+    table, identical long arithmetic) matches bit-for-bit. The old
+    8-language stopword heuristic remains as textops.with_language_id;
+    the accuracy test (tests/test_dataops.py) shows the trained model
+    beats it on held-out fixture lines."""
     import sys
 
     sys.path.insert(0, REPO)
-    from antnre_spark.textops import with_language_id
+    from antnre_spark.textops import language_id_ngram
 
     return (
-        with_language_id(_doc(spark, sf_dir))
+        language_id_ngram(_doc(spark, sf_dir))
         .groupBy("pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -893,20 +900,45 @@ def _sw_sql(lang_words: list[str]) -> str:
 
 
 def _langid_sql() -> str:
-    from antnre_spark.textops import LANG_PRIORITY, LANG_STOPWORDS
+    """DuckDB twin of q_t_langid: the same (gram -> per-lang micro
+    score) table as a VALUES list, the same explode/left-join/long-sum,
+    the same greatest+CASE argmax with first-language tie-break."""
+    from antnre_spark.textops import ngram_langid_model
 
-    scores = {
-        lang: _sw_sql(LANG_STOPWORDS[lang]) for lang in LANG_PRIORITY
-    }
-    cols = ", ".join(f"{scores[lang]} AS s_{lang}" for lang in LANG_PRIORITY)
-    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_PRIORITY) + ")"
-    case = "CASE WHEN " + best + " = 0 THEN 'und' "
-    for lang in LANG_PRIORITY:
-        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
-    case += "END"
+    langs, table, oov = ngram_langid_model()
+    vals = ",\n".join(
+        "('"
+        + g.replace("'", "''")
+        + "', ["
+        + ",".join(str(x) for x in s)
+        + "])"
+        for g, s in sorted(table.items())
+    )
+    sums = ",\n       ".join(
+        f"sum(coalesce(s[{i + 1}], {oov[i]}))::BIGINT AS sc_{lang}"
+        for i, lang in enumerate(langs)
+    )
+    m = "greatest(" + ", ".join(f"sc_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN sc_{lang} = m THEN '{lang}'" for lang in langs)
+        + " END"
+    )
     return f"""
+WITH tbl(gram, s) AS (VALUES
+{vals}),
+d AS (SELECT doc_id,
+             ' ' || lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) || ' ' AS t
+      FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(length(t) - 2, 1)),
+                                   i -> substr(t, i, 3))) AS gram
+      FROM d),
+sc AS (SELECT doc_id, {sums}
+       FROM g LEFT JOIN tbl USING (gram) GROUP BY doc_id)
 SELECT pred_lang, count(*) AS n_docs FROM (
-  SELECT {case} AS pred_lang FROM (SELECT {cols} FROM documents))
+  SELECT {case} AS pred_lang
+  FROM (SELECT *, {m} AS m FROM sc))
 GROUP BY pred_lang
 """
 

@@ -118,6 +118,96 @@ def extract_sentences(
     return sentences.mapInPandas(run, EXTRACTED)
 
 
+def extract_turns(
+    turns: DataFrame,
+    weights_bc,
+    vocab_bc,
+    token_budget: int = TOKEN_BUDGET,
+    model_key: str = "default",
+    repartition_to: int | None = None,
+    refine_types: bool = False,
+) -> DataFrame:
+    """Fused D1+D2+E+F (r3 verdict task 1): sentence segmentation +
+    tokenization run INSIDE the model's mapInPandas instead of as a
+    separate scalar pandas_udf stage — turn rows go through ONE Arrow
+    hop, not two.
+
+    Why this matters for N->4N scaling: the segment-then-extract chain
+    serializes every turn's text across the JVM<->Python boundary twice
+    (once into split_sentences_udf, once into the model UDF) and builds
+    the intermediate sentence-struct arrays in between; with 4N workers
+    sharing one local JVM's memory bus, those extra copies are pure
+    bandwidth pressure on the stage the profile blamed (~0.5 stage
+    efficiency, BENCH/BASELINE.md). Here the text crosses once and
+    sentences exist only as python lists inside the worker.
+
+    Semantics are IDENTICAL to
+    ``extract_sentences(segment.segment_turns(turns))``: the same
+    boundary regex (segment._SENT_BOUNDARY) and the same
+    whitespace-split tokenizer — asserted row-for-row in
+    tests/test_invariants.py. Output rows are per-sentence (mapInPandas
+    may emit more rows than it consumes)."""
+    import re
+
+    from antnre_spark.segment import _SENT_BOUNDARY
+
+    ws = re.compile(r"\s+")
+    turns = turns.select("conv_id", "turn_idx", "text")
+    if repartition_to:
+        turns = turns.repartition(repartition_to)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _model_for(weights_bc, vocab_bc, model_key)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            convs: list = []
+            tidxs: list = []
+            sidxs: list = []
+            toks_all: list = []
+            for conv, tidx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if text is None:
+                    continue
+                sent_idx = 0
+                for piece in _SENT_BOUNDARY.split(text):
+                    if not piece:
+                        continue
+                    convs.append(conv)
+                    tidxs.append(tidx)
+                    sidxs.append(sent_idx)
+                    toks_all.append(ws.split(piece.strip()))
+                    sent_idx += 1
+            # token-budget re-chunk (same rule as _token_chunks)
+            n = len(toks_all)
+            bounds, start, acc = [], 0, 0
+            for i, t in enumerate(toks_all):
+                if acc + len(t) > token_budget and i > start:
+                    bounds.append((start, i))
+                    start, acc = i, 0
+                acc += len(t)
+            if start < n or n == 0:
+                bounds.append((start, n))
+            for lo, hi in bounds:
+                toks = toks_all[lo:hi]
+                if not toks:
+                    continue
+                results = model.extract(toks, refine_types=refine_types)
+                out_m, out_r = _result_lists(results, toks)
+                yield pd.DataFrame(
+                    {
+                        "conv_id": convs[lo:hi],
+                        "turn_idx": pd.array(tidxs[lo:hi], dtype="int32"),
+                        "sent_idx": pd.array(sidxs[lo:hi], dtype="int32"),
+                        "mentions": out_m,
+                        "relations": out_r,
+                    }
+                )
+
+    return turns.mapInPandas(run, EXTRACTED)
+
+
 def extract_sentences_arrow(
     sentences: DataFrame,
     weights_bc,

@@ -103,6 +103,7 @@ def build_triples(
     provenance_cap: int = PROVENANCE_CAP,
     broadcast_map: bool = True,
     hub_subjects: list[str] | None = None,
+    owned_caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """H1+H2: resolve both relation arguments, then dedup into TRIPLES with
     evidence counts and capped, deterministically-ordered provenance.
@@ -142,9 +143,16 @@ def build_triples(
     )
     if hub_subjects:
         # the hot/cold split references `resolved` from two independent
-        # union branches — materialize it once (lineage cut) so the
-        # relations scan + both resolution joins don't execute twice
-        resolved = resolved.localCheckpoint(eager=True)
+        # union branches — persist it so the relations scan + both
+        # resolution joins compute once, not twice. persist (CacheManager-
+        # registered), NOT localCheckpoint: DataFrame.unpersist is a no-op
+        # on a localCheckpointed DF (blocks bypass the CacheManager), so a
+        # caller could never release it. The persisted handle is appended
+        # to ``owned_caches`` — the caller unpersists after its sinks run
+        # (pipeline.link_job does; see the r4 cache-sweep test).
+        resolved = resolved.persist()
+        if owned_caches is not None:
+            owned_caches.append(resolved)
         is_hub = F.col("subj").isin(list(hub_subjects))
         return _agg_triples(
             resolved.filter(~is_hub), provenance_cap

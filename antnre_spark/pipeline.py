@@ -112,7 +112,9 @@ def extract_job(
             sentences, weights_bc, vocab_bc, cfg.token_budget, model_key,
             repartition_to=cfg.repartition_to,
         )
-        extracted = extracted.localCheckpoint(eager=True)  # one forward pass
+        # persist, not localCheckpoint: one forward pass shared by the
+        # mention and relation sinks, releasable after the marker commits
+        extracted = extracted.persist()
 
         mentions = extract.explode_mentions(extracted).withColumn("bucket", F.lit(b))
         relations = extract.explode_relations(extracted).withColumn("bucket", F.lit(b))
@@ -137,6 +139,11 @@ def extract_job(
         stats["buckets_run"] += 1
         stats["mentions"] += n_m
         stats["relations"] += n_r
+        # cache ownership: every consumer of the checkpointed forward pass
+        # (mention/relation sinks + marker counts) has run — release its
+        # blocks so a long-lived session doesn't accumulate one persisted
+        # RDD per bucket (r2 verdict task 8 sweep contract)
+        extracted.unpersist()
     return stats
 
 
@@ -159,10 +166,15 @@ def link_job(spark: SparkSession, cfg: PipelineConfig) -> dict:
         if hub_tbl is not None
         else None
     )
+    owned_caches: list = []
     triples = materialize.build_triples(
-        relations, surface_map, hub_subjects=hub_subjects
+        relations, surface_map, hub_subjects=hub_subjects,
+        owned_caches=owned_caches,
     )
-    triples = triples.localCheckpoint(eager=True)
+    # persist, not localCheckpoint: the four sinks + metrics below all
+    # read triples; persist computes it once AND stays releasable
+    # (DataFrame.unpersist is a no-op on localCheckpointed DFs)
+    triples = triples.persist()
     vertices = materialize.build_vertices(triples, entities)
 
     ent_t = cfg.table("entities")
@@ -199,8 +211,12 @@ def link_job(spark: SparkSession, cfg: PipelineConfig) -> dict:
         model_hash=cfg.model_hash,
     )
     # cache ownership (link.link_entities contract): all actions that read
-    # surface_map have run — release it so session-reuse doesn't leak
+    # surface_map have run — release it so session-reuse doesn't leak;
+    # same for the checkpointed triples DF (its sinks + metrics are done)
     surface_map.unpersist()
+    triples.unpersist()
+    for df in owned_caches:
+        df.unpersist()
     return {"triples": n_triples, "per_pred": metrics_rows}
 
 

@@ -70,6 +70,7 @@ def streaming_assemble_documents(
     gap_seconds: int = 1800,
     max_turns: int = 512,
     watermark: str = "10 seconds",
+    dedupe: bool = True,
 ) -> DataFrame:
     """CUSTOM STATEFUL operator (``applyInPandasWithState``): streaming
     document assembly — the C1 groupBy cannot run on an unbounded stream,
@@ -86,18 +87,36 @@ def streaming_assemble_documents(
 
     Emitted rows: (conv_id, n_turns, doc_text ordered by turn_idx,
     closed_by in {'timeout', 'cap'}). State per key is two arrays + a
-    long — O(turns in flight) per conversation, bounded by max_turns."""
+    long — O(turns in flight) per conversation, bounded by max_turns.
+
+    ``dedupe`` (r3 verdict task 7): the source is at-least-once, so a
+    replayed file re-delivers turns the assembler already holds — the
+    batch path repairs this with C2 (latest-ts dedup), a stream cannot.
+    ``dropDuplicatesWithinWatermark`` on (conv_id, turn_idx) ahead of
+    the stateful assembler drops re-deliveries whose key was seen within
+    the watermark (first arrival wins — exactly the replay case, where
+    the duplicates are identical rows). Dedup state expires with the
+    watermark, so state size is bounded by in-flight turns, not history.
+    """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = gap_seconds * 1000
-    # applyInPandasWithState hands 'ts' to the UDF as tz-NAIVE pandas
-    # datetimes rendered in the session timezone, while GroupState
-    # timeouts compare against true epoch ms — capture the session tz at
-    # plan-build time so the epoch conversion is correct on non-UTC
-    # sessions (naive .value would read naive-local AS UTC and shift
-    # every timeout by the zone offset)
-    session_tz = turns.sparkSession.conf.get(
-        "spark.sql.session.timeZone", "UTC"
+    src = turns.withWatermark("ts", watermark)
+    if dedupe:
+        src = src.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    # epoch-ms is projected IN THE PLAN (unix_millis) rather than read
+    # back from pandas datetimes inside the UDF: applyInPandasWithState
+    # renders ts as tz-NAIVE datetimes in the session timezone, and
+    # re-localizing is zone-dependent and DST-unsafe (a fold/gap local
+    # time raises AmbiguousTimeError/NonExistentTimeError inside the
+    # stateful UDF and kills the query — r3 ADVICE). An integer column
+    # sidesteps pandas tz entirely; GroupState timeouts are epoch ms.
+    # NOTE the watermarked 'ts' column itself must SURVIVE the projection:
+    # EventTimeTimeout analysis rejects a stateful operator whose input
+    # lost the watermark attribute.
+    src = src.select(
+        "conv_id", "turn_idx", "text", "ts",
+        F.unix_millis("ts").alias("ts_ms"),
     )
 
     def assemble_fn(key, pdf_iter, state: GroupState):
@@ -132,11 +151,7 @@ def streaming_assemble_documents(
                 continue
             idxs.extend(int(x) for x in pdf["turn_idx"])
             texts.extend(str(x) for x in pdf["text"])
-            ts = pd.to_datetime(pdf["ts"])
-            if ts.dt.tz is None:
-                ts = ts.dt.tz_localize(session_tz)
-            batch_max = int(ts.max().value // 1_000_000)
-            last_ms = max(last_ms, batch_max)
+            last_ms = max(last_ms, int(pdf["ts_ms"].max()))
         if len(idxs) >= max_turns:
             # order the in-flight turns by turn_idx BEFORE cutting, so cap
             # documents slice in turn order (the batch assembler's
@@ -157,16 +172,12 @@ def streaming_assemble_documents(
         elif state.exists:
             state.remove()
 
-    return (
-        turns.withWatermark("ts", watermark)
-        .groupBy("conv_id")
-        .applyInPandasWithState(
-            assemble_fn,
-            DOC_OUT_SCHEMA,
-            DOC_STATE_SCHEMA,
-            "append",
-            GroupStateTimeout.EventTimeTimeout,
-        )
+    return src.groupBy("conv_id").applyInPandasWithState(
+        assemble_fn,
+        DOC_OUT_SCHEMA,
+        DOC_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -222,13 +233,20 @@ def process_extraction_batch(
     if batch_df.isEmpty():
         return
     sentences = segment.segment_turns(assemble.filter_extractable(batch_df))
+    # persist, not localCheckpoint: one forward pass shared by both sink
+    # writes, then RELEASED — a localCheckpoint here leaks one persisted
+    # RDD per micro-batch for the life of the stream (DataFrame.unpersist
+    # cannot release localCheckpoint blocks)
     extracted = extract.extract_sentences(
         sentences, weights_bc, vocab_bc, model_key=model_key
-    ).localCheckpoint(eager=True)
-    bid = F.lit(batch_id).alias("batch_id")
-    ment_t.overwrite_partitions(
-        extract.explode_mentions(extracted).select("*", bid), ["batch_id"]
-    )
-    rel_t.overwrite_partitions(
-        extract.explode_relations(extracted).select("*", bid), ["batch_id"]
-    )
+    ).persist()
+    try:
+        bid = F.lit(batch_id).alias("batch_id")
+        ment_t.overwrite_partitions(
+            extract.explode_mentions(extracted).select("*", bid), ["batch_id"]
+        )
+        rel_t.overwrite_partitions(
+            extract.explode_relations(extracted).select("*", bid), ["batch_id"]
+        )
+    finally:
+        extracted.unpersist()

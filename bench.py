@@ -105,6 +105,54 @@ def main() -> None:
             extract.extract_sentences(sentences, w_bc, v_bc, model_key=key)
         )
 
+    def kg_extract_fused_read(spark_, _sf_dir, path=input_path):
+        """Extraction with segmentation folded INTO the model UDF
+        (extract.extract_turns): one Arrow hop instead of two. Compared
+        against kg_extract in scaling campaigns (r3 verdict task 1)."""
+        from antnre_spark import assemble, extract
+
+        w_bc, v_bc, key = extract.broadcast_model(
+            spark_,
+            os.path.join(REPO, "fixtures", "data", "weights.npz"),
+            os.path.join(REPO, "fixtures", "data", "vocab.json"),
+        )
+        raw = assemble.partition_for_extraction(
+            spark_.read.parquet(path),
+            10 * spark_.sparkContext.defaultParallelism,
+        )
+        turns = assemble.filter_extractable(
+            assemble.explode_documents(assemble.assemble_documents_fused(raw))
+        )
+        return extract.explode_mentions(
+            extract.extract_turns(turns, w_bc, v_bc, model_key=key)
+        )
+
+    def assembly_stage_read(spark_, _sf_dir, path=input_path):
+        """Assembly+segment stage ISOLATED (no model): the stage the r3
+        profile blamed for ~0.5 N->4N efficiency. The xxhash64-of-tokens
+        groupBy forces full evaluation of the segmentation UDF output
+        (a bare count would prune the tokens column)."""
+        from pyspark.sql import functions as F
+
+        from antnre_spark import assemble, segment
+
+        raw = assemble.partition_for_extraction(
+            spark_.read.parquet(path),
+            10 * spark_.sparkContext.defaultParallelism,
+        )
+        sentences = segment.segment_turns(
+            assemble.filter_extractable(
+                assemble.explode_documents(assemble.assemble_documents_fused(raw))
+            )
+        )
+        return (
+            sentences.select(
+                F.xxhash64(F.concat_ws(" ", "tokens")).alias("h")
+            )
+            .groupBy(F.pmod("h", F.lit(7)).alias("g"))
+            .agg(F.count("*").alias("n"))
+        )
+
     def jvm_control_read(spark_, _sf_dir, path=input_path):
         """Pure-JVM CONTROL stage with the same shuffle shape as kg_extract
         (one conv_id hash exchange -> fused assembly -> explode -> narrow
@@ -175,7 +223,11 @@ def main() -> None:
     }
     # the control stage is opt-in by name (scaling campaigns), not part of
     # the driver's default headline set
-    extras = {"jvm_control": jvm_control_read}
+    extras = {
+        "jvm_control": jvm_control_read,
+        "kg_extract_fused": kg_extract_fused_read,
+        "assembly_stage": assembly_stage_read,
+    }
     if only:
         names = only.split(",")
         headline = {n: {**headline, **extras}[n] for n in names}

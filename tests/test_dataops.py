@@ -253,6 +253,42 @@ class TestTextOps:
         }
         assert fps[0] != fps[1]
 
+    def test_ngram_langid_beats_stopword_heuristic(self, spark):
+        """r3 verdict task 6: the trained 14-language char-trigram NB
+        must beat the 8-language stopword heuristic on held-out fixture
+        lines it never trained on — and be near-perfect in absolute
+        terms."""
+        from fixtures.langid_corpora import HELDOUT
+
+        flat = []
+        j = 0
+        for lang in sorted(HELDOUT):
+            for line in HELDOUT[lang]:
+                flat.append((j, lang, line))
+                j += 1
+        df = spark.createDataFrame(flat, ["doc_id", "true_lang", "text"])
+        nb = {
+            r["doc_id"]: r["pred_lang"]
+            for r in textops.language_id_ngram(df).collect()
+        }
+        sw = {
+            r["doc_id"]: r["pred_lang"]
+            for r in textops.with_language_id(df).collect()
+        }
+        truth = {i: lang for i, lang, _ in flat}
+        nb_acc = sum(nb[i] == truth[i] for i in truth) / len(truth)
+        sw_acc = sum(sw[i] == truth[i] for i in truth) / len(truth)
+        assert nb_acc > sw_acc
+        assert nb_acc >= 0.9, (nb_acc, {i: (nb[i], truth[i]) for i in truth if nb[i] != truth[i]})
+
+    def test_ngram_langid_model_shape(self):
+        langs, table, oov = textops.ngram_langid_model()
+        assert len(langs) >= 12 and len(oov) == len(langs)
+        assert all(len(v) == len(langs) for v in table.values())
+        # micro-logprobs are negative ints; vocabulary is non-trivial
+        assert len(table) > 300
+        assert all(isinstance(x, int) and x < 0 for v in table.values() for x in v)
+
     def test_quality_ranges(self, spark):
         df = spark.createDataFrame(
             [(0, "the cat, the dog!?")], ["doc_id", "text"]

@@ -1,0 +1,164 @@
+"""Iceberg adapter (antnre_spark/iceberg_adapter.py): the sandbox has no
+Iceberg runtime, so every Spark call the adapter makes is MOCKED and the
+tests assert the exact call surface — writeTo().append()/
+overwritePartitions(), snapshot-id read options, incremental scan
+options, snapshots-metadata SQL — plus the flag-guarded factory."""
+
+from __future__ import annotations
+
+from unittest.mock import MagicMock
+
+import pytest
+
+from antnre_spark.iceberg_adapter import (
+    IcebergTable,
+    iceberg_available,
+    open_table,
+)
+from antnre_spark.icelite import IceLite
+
+IDENT = "cat.db.triples"
+
+
+def make_spark(confs=None):
+    spark = MagicMock(name="spark")
+    spark.sparkContext.getConf().getAll.return_value = list(
+        (confs or {}).items()
+    )
+    return spark
+
+
+def make_table(exists=True, snapshots=()):
+    spark = make_spark()
+    t = IcebergTable(spark, IDENT)
+    t._table_exists = MagicMock(return_value=exists)
+    rows = [
+        {"snapshot_id": s, "n": n}
+        for s, n in (snapshots if snapshots and isinstance(snapshots[0], tuple) else [(s, 0) for s in snapshots])
+    ]
+    sql_result = MagicMock()
+    sql_result.collect.return_value = rows
+    t._sql = MagicMock(return_value=sql_result)
+    return t, spark
+
+
+class TestFactory:
+    def test_default_is_icelite(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("SPARK_GRAFT_USE_ICEBERG", raising=False)
+        t = open_table(make_spark(), str(tmp_path / "t"))
+        assert isinstance(t, IceLite)
+
+    def test_env_flag_without_catalog_is_loud(self, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_USE_ICEBERG", "1")
+        with pytest.raises(RuntimeError, match="no Iceberg catalog"):
+            open_table(make_spark(), IDENT)
+
+    def test_flag_plus_catalog_yields_adapter(self):
+        spark = make_spark(
+            {"spark.sql.catalog.cat": "org.apache.iceberg.spark.SparkCatalog"}
+        )
+        t = open_table(spark, IDENT, use_iceberg=True)
+        assert isinstance(t, IcebergTable)
+
+    def test_available_probe(self):
+        assert not iceberg_available(make_spark({}))
+        assert iceberg_available(
+            make_spark(
+                {"spark.sql.catalog.x": "org.apache.iceberg.spark.SparkCatalog"}
+            )
+        )
+
+
+class TestWrites:
+    def test_append_on_existing_table(self):
+        t, _ = make_table(exists=True, snapshots=(11, 22))
+        df = MagicMock()
+        snap = t.append(df)
+        df.writeTo.assert_called_once_with(IDENT)
+        df.writeTo.return_value.append.assert_called_once_with()
+        df.writeTo.return_value.create.assert_not_called()
+        assert snap == 22
+
+    def test_first_append_creates_partitioned(self):
+        t, _ = make_table(exists=False)
+        df = MagicMock()
+        t.append(df, partition_by=["pred", "bucket"])
+        w = df.writeTo.return_value
+        w.partitionedBy.assert_called_once()
+        assert len(w.partitionedBy.call_args.args) == 2
+        w.partitionedBy.return_value.create.assert_called_once_with()
+        w.append.assert_not_called()
+
+    def test_overwrite_partitions_is_dynamic(self):
+        t, _ = make_table(exists=True, snapshots=(5,))
+        df = MagicMock()
+        t.overwrite_partitions(df, ["pred", "bucket"])
+        df.writeTo.return_value.overwritePartitions.assert_called_once_with()
+
+
+class TestReads:
+    def test_load_latest_and_pinned_snapshot(self):
+        t, _ = make_table(exists=True)
+        spark = MagicMock()
+        t.load(spark)
+        spark.read.table.assert_called_once_with(IDENT)
+
+        spark2 = MagicMock()
+        t.load(spark2, snapshot=42)
+        spark2.read.option.assert_called_once_with("snapshot-id", 42)
+        spark2.read.option.return_value.table.assert_called_once_with(IDENT)
+
+    def test_load_missing_table_is_none(self):
+        t, _ = make_table(exists=False)
+        assert t.load(MagicMock()) is None
+
+    def test_load_partition_filter_applied(self):
+        t, _ = make_table(exists=True)
+        spark = MagicMock()
+        df = spark.read.table.return_value
+        t.load(spark, partition_filter={"bucket": ["3"]})
+        df.filter.assert_called_once()
+
+    def test_incremental_sets_snapshot_range(self):
+        t, _ = make_table(exists=True, snapshots=(10, 20, 30))
+        spark = MagicMock()
+        t.incremental(spark, since_snapshot=10)
+        spark.read.format.assert_called_once_with("iceberg")
+        opt = spark.read.format.return_value.option
+        opt.assert_called_once_with("start-snapshot-id", 10)
+        opt.return_value.option.assert_called_once_with(
+            "end-snapshot-id", 30
+        )
+        opt.return_value.option.return_value.load.assert_called_once_with(
+            IDENT
+        )
+
+    def test_incremental_noop_when_caught_up(self):
+        t, _ = make_table(exists=True, snapshots=(10,))
+        assert t.incremental(MagicMock(), since_snapshot=10) is None
+
+    def test_incremental_none_since_full_read(self):
+        t, _ = make_table(exists=True, snapshots=(10,))
+        spark = MagicMock()
+        out = t.incremental(spark, since_snapshot=None)
+        spark.read.table.assert_called_once_with(IDENT)
+        assert out is not None
+
+
+class TestSnapshots:
+    def test_snapshot_order_and_total_rows(self):
+        t, _ = make_table(
+            exists=True, snapshots=((7, 100), (9, 250))
+        )
+        assert t.snapshots() == [7, 9]
+        assert t.current_snapshot() == 9
+        assert t.total_rows() == 250
+        assert t.total_rows(snapshot=7) == 100
+        with pytest.raises(KeyError):
+            t.total_rows(snapshot=8)
+
+    def test_empty_table(self):
+        t, _ = make_table(exists=False)
+        assert t.snapshots() == []
+        assert t.current_snapshot() is None
+        assert t.total_rows() == 0

@@ -94,6 +94,29 @@ class TestGroupedMapVariant:
         }
         assert a == b
 
+    def test_fused_segmentation_equals_staged(
+        self, spark, transcripts_df, model_bcs
+    ):
+        """extract_turns (segmentation folded INTO the model UDF — one
+        Arrow hop) must emit exactly the rows of
+        extract_sentences(segment_turns(...)) (two Python stages),
+        mentions AND relations, including under a tiny token budget."""
+        w_bc, v_bc, key = model_bcs
+        sample = assemble.filter_extractable(
+            assemble.dedup_turns(transcripts_df.filter(F.col("conv_id") < "c000015"))
+        )
+        staged = extract.extract_sentences(
+            segment.segment_turns(sample), w_bc, v_bc,
+            token_budget=64, model_key=key,
+        )
+        fused = extract.extract_turns(
+            sample, w_bc, v_bc, token_budget=64, model_key=key
+        )
+        for explode in (extract.explode_mentions, extract.explode_relations):
+            a = {tuple(r) for r in explode(staged).collect()}
+            b = {tuple(r) for r in explode(fused).collect()}
+            assert a == b and a
+
     def test_mapinarrow_equals_mapinpandas(
         self, spark, transcripts_df, model_bcs
     ):

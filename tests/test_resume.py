@@ -129,3 +129,30 @@ class TestEmptyBucket:
         assert cfg.markers().committed("extract") == {"0", "1", "2", "3"}
         s2 = extract_job(spark, df, cfg)  # resume: nothing left to do
         assert s2["buckets_run"] == 0
+
+
+class TestCacheSweep:
+    def test_full_run_leaves_no_persistent_rdds(
+        self, spark, transcripts_df, fixture_paths, tmp_path
+    ):
+        """r2 verdict task 8 (closed r4): pipeline.full_run owns every
+        cache it creates — the per-bucket checkpointed forward pass, the
+        linking surface map, and the checkpointed triples DF are all
+        released before return, so a long-lived session that runs the
+        pipeline repeatedly accumulates NO persistent RDDs (net-zero
+        against whatever other fixtures already persisted)."""
+        from antnre_spark.pipeline import PipelineConfig, full_run
+
+        cfg = PipelineConfig(
+            out_root=str(tmp_path / "sweep_out"),
+            weights_npz=fixture_paths["weights"],
+            vocab_json=fixture_paths["vocab"],
+            n_buckets=2,
+        )
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        full_run(spark, transcripts_df, cfg)
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after == before
+        # and a resumed re-run (no-op buckets) is just as clean
+        full_run(spark, transcripts_df, cfg)
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

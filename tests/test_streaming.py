@@ -251,6 +251,73 @@ class TestStatefulAssembly:
         # C: still in flight -> not emitted
         assert ("C", "timeout") not in got and ("C", "cap") not in got
 
+    @pytest.mark.parametrize("dedupe", [True, False])
+    def test_replayed_duplicate_turns(self, spark, tmp_path, dedupe):
+        """r3 verdict task 7: an at-least-once source re-delivering the
+        SAME turn rows (a replayed file) must not double the assembled
+        document. dropDuplicatesWithinWatermark on (conv_id, turn_idx)
+        ahead of the stateful assembler absorbs the replay; the
+        dedupe=False leg proves this test actually detects the hole the
+        operator closes (turns double without it)."""
+        import shutil
+        import time as _time
+        from datetime import datetime
+
+        from antnre_spark.schema import TRANSCRIPTS
+
+        base = datetime(2026, 5, 1, 8, 0, 0)
+
+        def t(sec):
+            return datetime.fromtimestamp(base.timestamp() + sec)
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+
+        def drop(name, rows):
+            staging = tmp_path / f"stage_{name}"
+            spark.createDataFrame(rows, TRANSCRIPTS).coalesce(1).write.parquet(
+                str(staging)
+            )
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    shutil.copy(staging / f, in_dir / f"{name}.parquet")
+            _time.sleep(1.1)
+
+        rows = [
+            ("A", i, "user", w, None, t(i))
+            for i, w in [(0, "a"), (1, "b"), (2, "c")]
+        ]
+        drop("d1", rows)
+        drop("d2", rows)  # the replayed delivery — identical rows
+        drop("d3", [("B", 0, "user", "later", None, t(7200))])  # flush A
+
+        turns = (
+            spark.readStream.schema(TRANSCRIPTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        docs = streaming.streaming_assemble_documents(
+            turns, gap_seconds=1800, max_turns=100,
+            watermark="10 seconds", dedupe=dedupe,
+        )
+        qname = f"replay_docs_{dedupe}"
+        q = (
+            docs.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["conv_id"], r["closed_by"]): (r["n_turns"], r["doc_text"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+        if dedupe:
+            assert got[("A", "timeout")] == (3, "a b c")
+        else:
+            assert got[("A", "timeout")][0] == 6  # the hole, undefended
+
     def test_state_survives_restart(self, spark, tmp_path):
         """GroupState persists in the checkpoint: a stream stopped after
         the first drop and RESTARTED as a new query (same checkpoint) must

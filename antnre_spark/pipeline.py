@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from antnre_spark import assemble, extract, link, materialize, segment
+from antnre_spark import assemble, extract, link, materialize
 from antnre_spark.icelite import IceLite
 from antnre_spark.metrics import MarkerStore
 
@@ -107,9 +107,11 @@ def extract_job(
         docs_t.overwrite_partitions(docs, ["bucket"])
 
         ext_turns = assemble.filter_extractable(assemble.explode_documents(docs))
-        sentences = segment.segment_turns(ext_turns)
-        extracted = extract.extract_sentences(
-            sentences, weights_bc, vocab_bc, cfg.token_budget, model_key,
+        # fused segmentation+extraction: one Arrow hop (r4 — measured
+        # 0.817 N->4N efficiency vs 0.758 staged; row-identical to
+        # extract_sentences(segment_turns(...)), tests/test_invariants.py)
+        extracted = extract.extract_turns(
+            ext_turns, weights_bc, vocab_bc, cfg.token_budget, model_key,
             repartition_to=cfg.repartition_to,
         )
         # persist, not localCheckpoint: one forward pass shared by the

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from antnre_spark import assemble, extract, segment
+from antnre_spark import assemble, extract
 from antnre_spark.icelite import IceLite
 from antnre_spark.schema import TRANSCRIPTS
 
@@ -232,13 +232,14 @@ def process_extraction_batch(
     unchanged, because each batch OVERWRITES its own batch_id partition."""
     if batch_df.isEmpty():
         return
-    sentences = segment.segment_turns(assemble.filter_extractable(batch_df))
     # persist, not localCheckpoint: one forward pass shared by both sink
     # writes, then RELEASED — a localCheckpoint here leaks one persisted
     # RDD per micro-batch for the life of the stream (DataFrame.unpersist
-    # cannot release localCheckpoint blocks)
-    extracted = extract.extract_sentences(
-        sentences, weights_bc, vocab_bc, model_key=model_key
+    # cannot release localCheckpoint blocks). extract_turns = fused
+    # segmentation+extraction, row-identical to the staged path (r4).
+    extracted = extract.extract_turns(
+        assemble.filter_extractable(batch_df),
+        weights_bc, vocab_bc, model_key=model_key,
     ).persist()
     try:
         bid = F.lit(batch_id).alias("batch_id")

@@ -208,6 +208,9 @@ def main() -> None:
     headline = {
         "kg_pipeline": kg_pipeline_read,
         "kg_extract": kg_extract_read,
+        # r4: the fused-segmentation production path (one Arrow hop);
+        # kg_extract above keeps the staged r3 shape for like-for-like
+        "kg_extract_fused": kg_extract_fused_read,
         "c1_ordered_assembly": q["c1_ordered_assembly"],
         "h2_groupby_agg": q["h2_groupby_agg"],
         "h1_join_2hop": q["h1_join_2hop"],
@@ -251,7 +254,13 @@ def main() -> None:
     out_rows: dict[str, int] = {}
     for name, fn in headline.items():
         if warmup:
-            if name in ("kg_pipeline", "kg_extract", "jvm_control"):
+            if name in (
+                "kg_pipeline",
+                "kg_extract",
+                "kg_extract_fused",
+                "jvm_control",
+                "assembly_stage",
+            ):
                 fn(spark, sf_dir, path=warm_path).count()
             else:
                 fn(spark, sf_dir).count()

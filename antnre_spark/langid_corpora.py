@@ -30,7 +30,15 @@ TRAIN: dict[str, str] = {
         "children were playing in the garden behind the old house. he "
         "could not remember where he had left the keys. it is often "
         "difficult to know what the right thing to do is. the book on "
-        "the table belongs to my sister, who works at the library."
+        "the table belongs to my sister, who works at the library. a "
+        "good answer usually needs a few plain words and nothing more. "
+        "most people simply want something that works without any "
+        "trouble. every single thing in that drawer has its own story. "
+        "writing clearly is mainly a matter of leaving things out. an "
+        "ordinary afternoon can still bring surprising news. these "
+        "results were better than anything anyone expected. reading "
+        "together in the evening became a quiet family habit. nothing "
+        "about the plan seemed likely to change before friday."
     ),
     "de": (
         "das wetter war heute morgen kalt und klar, und die straßen "

@@ -388,6 +388,67 @@ def ivf_topk_batch(
     )
 
 
+def bucketed_topk_batch(
+    index: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Bulk ANN over the hyperplane-LSH index (the data-INDEPENDENT twin
+    of ivf_topk_batch): every query row is assigned its own bucket (and,
+    with ``multiprobe``, all Hamming-1 neighbor buckets) via the same
+    plane-weight literals the index used, exploded to one row per probe,
+    equi-joined against the bucket-partitioned index, and ranked by
+    exact cosine with a per-query WindowGroupLimit top-k.
+
+    Same scale shape as ivf_topk_batch: queries grow by (1 + n_planes)
+    probes, never by corpus size; the join shuffle co-partitions on the
+    bucket key the stored index is partitioned by. Returns
+    (query_id, id, cosine, rank). Matches per-query ``bucketed_topk``
+    row-for-row (tests/test_dataops.py)."""
+    planes = plane_weights(dim, n_planes)
+    qv = F.col(vec_col)
+    qb = hyperplane_bucket(qv, planes)
+    probes = [qb]
+    if multiprobe:
+        for i in range(n_planes):
+            # flip bit i: prefix [1..i] + flipped char + suffix [i+2..]
+            flipped = F.concat(
+                F.substring(qb, 1, i),
+                F.when(F.substring(qb, i + 1, 1) == "1", "0").otherwise("1"),
+                F.substring(qb, i + 2, n_planes - i - 1),
+            )
+            probes.append(flipped)
+    q = queries.filter(qv.isNotNull() & (F.size(qv) == dim)).select(
+        F.col(query_id_col),
+        qv.alias("_qv"),
+        _norm(qv).alias("_qn"),
+        F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
+    )
+    joined = q.join(index, "bucket")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = F.round(dot / (F.col("norm") * F.col("_qn")), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select(F.col(query_id_col), F.col(id_col), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def bucketed_topk(
     index: DataFrame,
     query: list[float],

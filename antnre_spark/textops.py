@@ -119,7 +119,8 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 #
 # Replaces the stopword-voting heuristic as the production path: a NB
 # classifier over character trigrams trained on the deterministic fixture
-# corpora (fixtures/langid_corpora.py, 14 languages). All arithmetic is
+# corpora (antnre_spark/langid_corpora.py, 14 languages — in-package so
+# a --py-files deployment is self-contained). All arithmetic is
 # INTEGER micro-log10-probabilities (round(log10(p) * 1e6)), so scores are
 # exact long sums — identical in any engine and under any execution order.
 #
@@ -160,7 +161,7 @@ def ngram_langid_model(
     if _NGRAM_MODEL is None:
         import math
 
-        from fixtures.langid_corpora import NGRAM_LANGS, TRAIN
+        from antnre_spark.langid_corpora import NGRAM_LANGS, TRAIN
 
         counts: dict[str, dict[str, int]] = {}
         for lang in NGRAM_LANGS:

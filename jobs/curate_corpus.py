@@ -44,6 +44,7 @@ def curate_corpus(
     min_trigram_logp: float | None = None,
     quota: int = 0,
     sample_rate: float = 1.0,
+    langid_model: str = "stopword",
 ):
     """The composable core (also unit-tested directly): documents ->
     (curated DataFrame, per-stage metrics dict). Each stage's survivors
@@ -88,10 +89,20 @@ def curate_corpus(
     ).localCheckpoint(eager=True)
     metrics["after_neardup_dedup"] = docs.count()
 
-    # 3. quality gate (single pass of pure column predicates)
-    scored = textops.with_trigram_logprob(
-        textops.with_language_id(textops.with_token_count(docs))
-    )
+    # 3. quality gate (single pass of pure column predicates).
+    # langid_model='ngram' uses the trained 14-language char-trigram NB
+    # (r4, textops.language_id_ngram — broadcast gram-table join, joined
+    # back on doc_id); 'stopword' keeps the 8-language heuristic (the
+    # deterministic default the verify loop pins its counts to).
+    if langid_model == "ngram":
+        preds = textops.language_id_ngram(docs)
+        scored = textops.with_trigram_logprob(
+            textops.with_token_count(docs)
+        ).join(preds, "doc_id")
+    else:
+        scored = textops.with_trigram_logprob(
+            textops.with_language_id(textops.with_token_count(docs))
+        )
     cond = (F.col("n_tokens") >= min_tokens) & (
         F.col("n_tokens") <= max_tokens
     )
@@ -130,6 +141,13 @@ def main() -> None:
     ap.add_argument("--min-trigram-logp", type=float, default=None)
     ap.add_argument("--quota", type=int, default=0)
     ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument(
+        "--langid-model",
+        choices=["stopword", "ngram"],
+        default="stopword",
+        help="language filter backend: 8-lang stopword heuristic or the "
+        "trained 14-lang char-trigram NB (textops.language_id_ngram)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("curate-corpus")
@@ -144,6 +162,7 @@ def main() -> None:
         min_trigram_logp=args.min_trigram_logp,
         quota=args.quota,
         sample_rate=args.sample_rate,
+        langid_model=args.langid_model,
     )
     curated.write.mode("overwrite").parquet(args.out)
     print(json.dumps(metrics))

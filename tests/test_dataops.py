@@ -187,6 +187,61 @@ class TestSimSearch:
         ]
         assert got[0] == exact[0] == 0  # the true nearest always survives
 
+    def test_ivf_batch_matches_per_query_loop(self, spark):
+        """r4 bulk ANN: ivf_topk_batch over a query table must return,
+        for every query, exactly the rows of the single-vector ivf_topk
+        driver loop (same centroids, same nprobe, same tie-breaks)."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        cents = simsearch.kmeans_centroids(df, n_centroids=8, sample_size=64)
+        idx = simsearch.ivf_index(df, cents)
+        queries = df.filter(F.col("vec_id") % 30 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        batch = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+            for r in simsearch.ivf_topk_batch(
+                idx, queries, cents, k=5, nprobe=2
+            ).collect()
+        }
+        for qid, vec in [(r["query_id"], r["embedding"]) for r in queries.collect()]:
+            single = simsearch.ivf_topk(idx, list(vec), cents, k=5, nprobe=2).collect()
+            for rank, r in enumerate(single, start=1):
+                assert batch[(qid, rank)] == (r["vec_id"], r["cosine"])
+
+    def test_bucketed_batch_matches_per_query_loop(self, spark):
+        """Same contract for the hyperplane-LSH batch path: per-query
+        probes (bucket + Hamming-1) computed as column expressions must
+        reproduce the driver-side probe enumeration of bucketed_topk."""
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        idx = simsearch.bucketed_index(df, dim=8)
+        queries = df.filter(F.col("vec_id") % 30 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        batch = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+            for r in simsearch.bucketed_topk_batch(
+                idx, queries, dim=8, k=5
+            ).collect()
+        }
+        for qid, vec in [(r["query_id"], r["embedding"]) for r in queries.collect()]:
+            single = simsearch.bucketed_topk(idx, list(vec), k=5).collect()
+            for rank, r in enumerate(single, start=1):
+                assert batch[(qid, rank)] == (r["vec_id"], r["cosine"])
+
 
 class TestTextOps:
     def test_language_id(self, spark):
@@ -258,7 +313,7 @@ class TestTextOps:
         must beat the 8-language stopword heuristic on held-out fixture
         lines it never trained on — and be near-perfect in absolute
         terms."""
-        from fixtures.langid_corpora import HELDOUT
+        from antnre_spark.langid_corpora import HELDOUT
 
         flat = []
         j = 0
@@ -650,6 +705,30 @@ class TestCurateCorpusJob:
         assert metrics["after_neardup_dedup"] == 6
         assert metrics["after_quality_gate"] == 4
         assert metrics["output"] == 4
+
+    def test_ngram_langid_backend(self, spark):
+        """--langid-model ngram routes the language gate through the
+        trained NB classifier: the German sentence is rejected by
+        PREDICTION (its lang column lies 'en'), English survivors pass."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path("jobs").resolve().parent))
+        from jobs.curate_corpus import curate_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat and the dog is in the house", "en", "web"),
+                (1, "sie gingen am fluss entlang bis die sonne unterging", "en", "web"),
+                (2, "a plain sentence with enough ordinary english words in it", "en", "web"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        curated, metrics = curate_corpus(
+            docs, langs=["en"], min_tokens=4, langid_model="ngram"
+        )
+        assert sorted(r["doc_id"] for r in curated.collect()) == [0, 2]
+        assert metrics["after_quality_gate"] == 2
 
     def test_quota_and_sample_compose(self, spark):
         import sys

@@ -1482,17 +1482,9 @@ def q_ss_topk_cosine(spark, sf_dir):
     return cosine_topk(e, _query_vec(sf_dir), k=10)
 
 
-SQL_SS_TOPK = """
-WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
-           FROM embeddings WHERE vec_id = 0),
-e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
-SELECT vec_id,
-       round(list_dot_product(v, (SELECT qv FROM q)) /
-             (sqrt(list_sum(list_transform(v, x -> x * x))) *
-              sqrt(list_sum(list_transform((SELECT qv FROM q), x -> x * x)))),
-             6) AS cosine
-FROM e ORDER BY cosine DESC, vec_id ASC LIMIT 10
-"""
+# (q_ss_topk_cosine's DuckDB twin was removed with its oracle slot: the
+# exact scan now lives inside ss_ivf_topk_batch as the in_exact verify
+# leg, and bench times the Spark side only)
 
 
 def q_ss_bucketed_topk(spark, sf_dir):
@@ -2145,6 +2137,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
     # stderr (the r2 driver artifact taught us silent degrades are
     # indistinguishable from missing coverage)
     data_dependent = {}
+    degraded = False
     for name, builder in (
         ("kg_triples", _kg_triples_sql),
         ("dd_cosine_lsh", _cosine_lsh_sql),
@@ -2156,6 +2149,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         try:
             data_dependent[name] = builder()
         except OSError as e:
+            degraded = True
             print(
                 f"[oracle_sql] WARNING: oracle for {name!r} degraded to "
                 f"rows-only (data-dependent build failed: {e!r})",
@@ -2209,5 +2203,10 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "mm_media_stats": SQL_MM_STATS,
         "mm_features": SQL_MM_FEATURES,
     }
-    _ORACLE_SQL_CACHE[sf] = out
+    # cache ONLY complete builds: pinning a degraded dict would make a
+    # transient read failure permanently skip those oracles for the rest
+    # of the process (r4 self-review); a degraded call stays per-call so
+    # the next invocation retries the data-dependent builders.
+    if not degraded:
+        _ORACLE_SQL_CACHE[sf] = out
     return out

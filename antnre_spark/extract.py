@@ -63,17 +63,52 @@ def _model_for(weights_bc, vocab_bc, model_key: str) -> AntNREModel:
     return model
 
 
+def _budget_bounds(sizes, budget: int) -> list[tuple[int, int]]:
+    """[lo, hi) chunk bounds so each chunk's total size <= budget (one
+    oversized row still forms its own chunk). THE single budget rule —
+    shared by the pandas, Arrow, and fused stage bodies so they can
+    never desynchronize."""
+    bounds: list[tuple[int, int]] = []
+    start, acc = 0, 0
+    n = 0
+    for i, s in enumerate(sizes):
+        n = i + 1
+        if acc + int(s) > budget and i > start:
+            bounds.append((start, i))
+            start, acc = i, 0
+        acc += int(s)
+    if start < n:
+        bounds.append((start, n))
+    return bounds
+
+
 def _token_chunks(pdf: pd.DataFrame, budget: int) -> Iterator[pd.DataFrame]:
     """Re-chunk an Arrow batch so each model call sees <= budget tokens."""
     sizes = pdf["tokens"].map(len).to_numpy()
-    start, acc = 0, 0
-    for i, s in enumerate(sizes):
-        if acc + int(s) > budget and i > start:
-            yield pdf.iloc[start:i]
-            start, acc = i, 0
-        acc += int(s)
-    if start < len(pdf):
-        yield pdf.iloc[start:]
+    for lo, hi in _budget_bounds(sizes, budget):
+        yield pdf.iloc[lo:hi]
+
+
+# Spark's `trim` removes ONLY the space character (0x20), and Java's
+# regex \s is ASCII-only ([ \t\n\x0B\f\r]) — both narrower than
+# python's unicode-aware str.strip()/\s. The fused path must replicate
+# the JVM tokenizer EXACTLY or token indices (and therefore mention
+# spans and ids) drift on inputs with tabs/newlines/NBSP at sentence
+# edges — caught by the r4 self-review and pinned by
+# tests/test_invariants.py::test_fused_tokenizer_matches_jvm_on_nasty_whitespace.
+_JVM_WS = None  # compiled lazily (module import stays light)
+
+
+def _jvm_tokens(piece: str) -> list[str]:
+    """Exact python replica of F.split(F.trim(col), r"\\s+"):
+    trim = strip 0x20 only; split on ASCII whitespace runs, KEEPING the
+    leading/trailing empty tokens Java split(-1) produces."""
+    global _JVM_WS
+    if _JVM_WS is None:
+        import re
+
+        _JVM_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+    return _JVM_WS.split(piece.strip(" "))
 
 
 def extract_sentences(
@@ -143,15 +178,16 @@ def extract_turns(
 
     Semantics are IDENTICAL to
     ``extract_sentences(segment.segment_turns(turns))``: the same
-    boundary regex (segment._SENT_BOUNDARY) and the same
-    whitespace-split tokenizer — asserted row-for-row in
-    tests/test_invariants.py. Output rows are per-sentence (mapInPandas
-    may emit more rows than it consumes)."""
-    import re
-
+    boundary regex (segment._SENT_BOUNDARY) and an EXACT python replica
+    of the JVM tokenizer (_jvm_tokens — Spark trim strips 0x20 only and
+    Java \\s is ASCII-only, both narrower than python defaults; the r4
+    self-review caught the naive strip()/\\s version drifting on
+    tab/NBSP-edged text). Asserted row-for-row in
+    tests/test_invariants.py, including an adversarial-whitespace case.
+    Output rows are per-sentence (mapInPandas may emit more rows than
+    it consumes)."""
     from antnre_spark.segment import _SENT_BOUNDARY
 
-    ws = re.compile(r"\s+")
     turns = turns.select("conv_id", "turn_idx", "text")
     if repartition_to:
         turns = turns.repartition(repartition_to)
@@ -177,18 +213,11 @@ def extract_turns(
                     convs.append(conv)
                     tidxs.append(tidx)
                     sidxs.append(sent_idx)
-                    toks_all.append(ws.split(piece.strip()))
+                    toks_all.append(_jvm_tokens(piece))
                     sent_idx += 1
-            # token-budget re-chunk (same rule as _token_chunks)
-            n = len(toks_all)
-            bounds, start, acc = [], 0, 0
-            for i, t in enumerate(toks_all):
-                if acc + len(t) > token_budget and i > start:
-                    bounds.append((start, i))
-                    start, acc = i, 0
-                acc += len(t)
-            if start < n or n == 0:
-                bounds.append((start, n))
+            # token-budget re-chunk — the SAME _budget_bounds rule as the
+            # staged/Arrow paths
+            bounds = _budget_bounds([len(t) for t in toks_all], token_budget)
             for lo, hi in bounds:
                 toks = toks_all[lo:hi]
                 if not toks:
@@ -240,14 +269,8 @@ def extract_sentences_arrow(
             if n == 0:
                 continue
             toks_all = rb.column(3).to_pylist()
-            # token-budget re-chunk (same rule as _token_chunks)
-            bounds, start, acc = [], 0, 0
-            for i, t in enumerate(toks_all):
-                if acc + len(t) > token_budget and i > start:
-                    bounds.append((start, i))
-                    start, acc = i, 0
-                acc += len(t)
-            bounds.append((start, n))
+            # token-budget re-chunk — the shared _budget_bounds rule
+            bounds = _budget_bounds([len(t) for t in toks_all], token_budget)
             for lo, hi in bounds:
                 toks = toks_all[lo:hi]
                 results = model.extract(toks, refine_types=refine_types)

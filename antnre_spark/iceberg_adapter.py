@@ -39,16 +39,30 @@ from antnre_spark.icelite import IceLite
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff the session has at least one Iceberg catalog configured
-    (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog).
-    Conf probing only — no jar loading, safe in this sandbox."""
+    (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog or
+    a subclass whose name carries 'iceberg'/'SparkCatalog'). Probes BOTH
+    conf surfaces: the immutable SparkConf snapshot AND the runtime SQL
+    conf (``SET``) — a catalog registered after session start via
+    spark.conf.set() never lands in the former (r4 self-review). Conf
+    probing only — no jar loading, safe in this sandbox."""
+
+    def _is_catalog(k: str, v: str) -> bool:
+        return k.startswith("spark.sql.catalog.") and "." not in k[
+            len("spark.sql.catalog."):
+        ] and ("iceberg" in v.lower() or v.endswith("SparkCatalog"))
+
     try:
-        confs = dict(spark.sparkContext.getConf().getAll())
+        if any(
+            _is_catalog(k, v)
+            for k, v in spark.sparkContext.getConf().getAll()
+        ):
+            return True
+        return any(
+            _is_catalog(r["key"], r["value"] or "")
+            for r in spark.sql("SET").collect()
+        )
     except Exception:
         return False
-    return any(
-        k.startswith("spark.sql.catalog.") and "iceberg" in v.lower()
-        for k, v in confs.items()
-    )
 
 
 def open_table(

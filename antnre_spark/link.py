@@ -397,6 +397,17 @@ def connected_components(
     fault-tolerant store instead of killing the job (see _cut_lineage).
     Leaving it None keeps local-mode behavior (and respects a dir the
     caller already installed via ``sc.setCheckpointDir``).
+
+    Lifecycle (deliberate, know it): the setting is SESSION-GLOBAL and
+    stays installed after this call — later CC runs in the same session
+    keep using reliable checkpoints (call
+    ``sc.setCheckpointDir(None)`` to revert, as the tests do). The
+    checkpoint FILES cannot be deleted here because the returned labels
+    frame lazily reads them; either set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` on the
+    session (GC-driven cleanup) or delete the dir after the job's
+    outputs are materialized — the caller owns the dir, same as any
+    Spark job's checkpoint location.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)

@@ -143,6 +143,11 @@ class AntNREModel:
             s = tok.lower()[:MAX_TOKEN_LEN]
             ids = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
             ids = ids.astype(np.int64) % N_CHAR_BUCKETS
+            if len(ids) == 0:
+                # empty token (whitespace-only turn text tokenizes to
+                # [""]): zero char features instead of a zero-size
+                # maxpool crash (r4 adversarial-whitespace test)
+                continue
             emb = ce[ids]  # [L, d]
             padded = np.vstack([np.zeros((1, d), np.float32), emb, np.zeros((1, d), np.float32)])
             wins = np.concatenate(

@@ -115,37 +115,37 @@ def extract_job(
             repartition_to=cfg.repartition_to,
         )
         # persist, not localCheckpoint: one forward pass shared by the
-        # mention and relation sinks, releasable after the marker commits
+        # mention and relation sinks, releasable after the marker commits.
+        # try/finally: a failed sink write must not leak the cache into a
+        # long-lived session that retries the job (r4 self-review — the
+        # sweep contract of tests/test_resume.py::TestCacheSweep)
         extracted = extracted.persist()
+        try:
+            mentions = extract.explode_mentions(extracted).withColumn("bucket", F.lit(b))
+            relations = extract.explode_relations(extracted).withColumn("bucket", F.lit(b))
+            ment_snap = ment_t.overwrite_partitions(mentions, ["bucket"])
+            rel_t.overwrite_partitions(relations, ["bucket"])
 
-        mentions = extract.explode_mentions(extracted).withColumn("bucket", F.lit(b))
-        relations = extract.explode_relations(extracted).withColumn("bucket", F.lit(b))
-        ment_snap = ment_t.overwrite_partitions(mentions, ["bucket"])
-        rel_t.overwrite_partitions(relations, ["bucket"])
-
-        # a bucket can be legitimately empty (no extractable turns) —
-        # IceLite.load returns None then; the marker must still commit so
-        # resume doesn't redo the bucket forever
-        m_df = ment_t.load(spark, partition_filter={"bucket": [str(b)]})
-        r_df = rel_t.load(spark, partition_filter={"bucket": [str(b)]})
-        n_m = m_df.count() if m_df is not None else 0
-        n_r = r_df.count() if r_df is not None else 0
-        markers.commit(
-            stage="extract",
-            partition_key=str(b),
-            snapshot_id=str(ment_snap),
-            input_rows=input_rows,
-            output_rows=n_m + n_r,
-            model_hash=cfg.model_hash,
-        )
-        stats["buckets_run"] += 1
-        stats["mentions"] += n_m
-        stats["relations"] += n_r
-        # cache ownership: every consumer of the checkpointed forward pass
-        # (mention/relation sinks + marker counts) has run — release its
-        # blocks so a long-lived session doesn't accumulate one persisted
-        # RDD per bucket (r2 verdict task 8 sweep contract)
-        extracted.unpersist()
+            # a bucket can be legitimately empty (no extractable turns) —
+            # IceLite.load returns None then; the marker must still commit
+            # so resume doesn't redo the bucket forever
+            m_df = ment_t.load(spark, partition_filter={"bucket": [str(b)]})
+            r_df = rel_t.load(spark, partition_filter={"bucket": [str(b)]})
+            n_m = m_df.count() if m_df is not None else 0
+            n_r = r_df.count() if r_df is not None else 0
+            markers.commit(
+                stage="extract",
+                partition_key=str(b),
+                snapshot_id=str(ment_snap),
+                input_rows=input_rows,
+                output_rows=n_m + n_r,
+                model_hash=cfg.model_hash,
+            )
+            stats["buckets_run"] += 1
+            stats["mentions"] += n_m
+            stats["relations"] += n_r
+        finally:
+            extracted.unpersist()
     return stats
 
 
@@ -175,50 +175,57 @@ def link_job(spark: SparkSession, cfg: PipelineConfig) -> dict:
     )
     # persist, not localCheckpoint: the four sinks + metrics below all
     # read triples; persist computes it once AND stays releasable
-    # (DataFrame.unpersist is a no-op on localCheckpointed DFs)
+    # (DataFrame.unpersist is a no-op on localCheckpointed DFs).
+    # try/finally: cache ownership must hold even when a sink write
+    # throws mid-job — a long-lived driver retrying link jobs must not
+    # accumulate one leaked cache per attempt (r4 self-review; the
+    # sweep contract of tests/test_resume.py::TestCacheSweep).
     triples = triples.persist()
-    vertices = materialize.build_vertices(triples, entities)
+    try:
+        vertices = materialize.build_vertices(triples, entities)
 
-    ent_t = cfg.table("entities")
-    tri_t = cfg.table("triples")
-    vert_t = cfg.table("vertices")
-    hub_t = cfg.table("hub_entities")
-    ent_t.overwrite_partitions(entities.withColumn("part", F.lit(0)), ["part"])
-    # edge table layout per SURVEY.md §4.3.6: partition by pred, bucket by
-    # subj — point lookups prune to one (pred, bucket) slice via manifests
-    tri_snap = tri_t.overwrite_partitions(
-        triples.withColumn("bucket", bucket_of(F.col("subj"), 16)),
-        ["pred", "bucket"],
-    )
-    vert_t.overwrite_partitions(vertices.withColumn("part", F.lit(0)), ["part"])
-    # H5 degree stats — the skew-planning input (BASELINE.json:6 "hub
-    # entities"): next runs read this to pick explicit salts
-    hub_t.overwrite_partitions(
-        materialize.hub_entities(triples, k=100).withColumn("part", F.lit(0)),
-        ["part"],
-    )
+        ent_t = cfg.table("entities")
+        tri_t = cfg.table("triples")
+        vert_t = cfg.table("vertices")
+        hub_t = cfg.table("hub_entities")
+        ent_t.overwrite_partitions(entities.withColumn("part", F.lit(0)), ["part"])
+        # edge table layout per SURVEY.md §4.3.6: partition by pred,
+        # bucket by subj — point lookups prune to one (pred, bucket)
+        # slice via manifests
+        tri_snap = tri_t.overwrite_partitions(
+            triples.withColumn("bucket", bucket_of(F.col("subj"), 16)),
+            ["pred", "bucket"],
+        )
+        vert_t.overwrite_partitions(vertices.withColumn("part", F.lit(0)), ["part"])
+        # H5 degree stats — the skew-planning input (BASELINE.json:6 "hub
+        # entities"): next runs read this to pick explicit salts
+        hub_t.overwrite_partitions(
+            materialize.hub_entities(triples, k=100).withColumn("part", F.lit(0)),
+            ["part"],
+        )
 
-    n_triples = tri_t.total_rows()
-    metrics_rows = [
-        json.loads(r)
-        for r in materialize.partition_metrics(triples).toJSON().collect()
-    ]
-    markers.commit(
-        stage="link_materialize",
-        partition_key="all",
-        snapshot_id=str(tri_snap),
-        input_rows=mentions.count(),
-        output_rows=vert_t.total_rows(),
-        triple_count=n_triples,
-        model_hash=cfg.model_hash,
-    )
-    # cache ownership (link.link_entities contract): all actions that read
-    # surface_map have run — release it so session-reuse doesn't leak;
-    # same for the checkpointed triples DF (its sinks + metrics are done)
-    surface_map.unpersist()
-    triples.unpersist()
-    for df in owned_caches:
-        df.unpersist()
+        n_triples = tri_t.total_rows()
+        metrics_rows = [
+            json.loads(r)
+            for r in materialize.partition_metrics(triples).toJSON().collect()
+        ]
+        markers.commit(
+            stage="link_materialize",
+            partition_key="all",
+            snapshot_id=str(tri_snap),
+            input_rows=mentions.count(),
+            output_rows=vert_t.total_rows(),
+            triple_count=n_triples,
+            model_hash=cfg.model_hash,
+        )
+    finally:
+        # cache ownership (link.link_entities contract): release the
+        # surface map, the triples cache, and build_triples' owned
+        # intermediates whether or not the sinks succeeded
+        surface_map.unpersist()
+        triples.unpersist()
+        for df in owned_caches:
+            df.unpersist()
     return {"triples": n_triples, "per_pred": metrics_rows}
 
 

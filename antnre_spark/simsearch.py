@@ -31,6 +31,15 @@ def _norm(vec: Column) -> Column:
     return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
 
 
+def _query_norm(vec: Column) -> Column:
+    """Query-side norm with the zero guard the single-query paths apply
+    driver-side (``math.sqrt(...) or 1.0``): an all-zero query vector
+    yields cosine 0.0 rows, not NaNs that Spark sorts above every real
+    neighbor (r4 self-review)."""
+    n = _norm(vec)
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
 def cosine_topk(
     df: DataFrame,
     query: list[float],
@@ -96,14 +105,23 @@ def bucketed_index(
     dim: int | None = None,
 ) -> DataFrame:
     """Materializable ANN index: (bucket, id, vec, norm). Write this
-    partitioned by bucket; queries prune to one partition."""
+    partitioned by bucket; queries prune to one partition.
+
+    Null and zero-norm vectors are EXCLUDED: a zero vector has no
+    direction, so no cosine neighbor rank — and under ANSI mode (Spark 4
+    default) its norm-0 row would turn every query that probes its
+    bucket into a divide-by-zero job failure (r4 self-review)."""
     planes = plane_weights(dim or _infer_dim(df, vec_col), n_planes)
     v = F.col(vec_col)
-    return df.select(
-        hyperplane_bucket(v, planes).alias("bucket"),
-        F.col(id_col),
-        v.alias(vec_col),
-        _norm(v).alias("norm"),
+    return (
+        df.filter(v.isNotNull())
+        .select(
+            hyperplane_bucket(v, planes).alias("bucket"),
+            F.col(id_col),
+            v.alias(vec_col),
+            _norm(v).alias("norm"),
+        )
+        .filter(F.col("norm") > 0.0)
     )
 
 
@@ -262,11 +280,16 @@ def ivf_index(
     index: IVF cells adapt to the data distribution (k-means), LSH buckets
     are data-independent — at 100 TB you pick per corpus shape."""
     v = F.col(vec_col)
-    return df.select(
-        ivf_cell(v, centroids).alias("cell"),
-        F.col(id_col),
-        v.alias(vec_col),
-        _norm(v).alias("norm"),
+    # null/zero-norm vectors excluded, same reasoning as bucketed_index
+    return (
+        df.filter(v.isNotNull())
+        .select(
+            ivf_cell(v, centroids).alias("cell"),
+            F.col(id_col),
+            v.alias(vec_col),
+            _norm(v).alias("norm"),
+        )
+        .filter(F.col("norm") > 0.0)
     )
 
 
@@ -365,7 +388,7 @@ def ivf_topk_batch(
         .select(
             F.col(query_id_col),
             qv.alias("_qv"),
-            _norm(qv).alias("_qn"),
+            _query_norm(qv).alias("_qn"),
             F.explode(ivf_probe_cells(qv, centroids, nprobe)).alias("cell"),
         )
     )
@@ -427,7 +450,7 @@ def bucketed_topk_batch(
     q = queries.filter(qv.isNotNull() & (F.size(qv) == dim)).select(
         F.col(query_id_col),
         qv.alias("_qv"),
-        _norm(qv).alias("_qn"),
+        _query_norm(qv).alias("_qn"),
         F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
     )
     joined = q.join(index, "bucket")

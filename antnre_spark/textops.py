@@ -135,7 +135,7 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 # join is broadcast (table is ~100 KB) and the only shuffle is the per-doc
 # partial-sum combine.
 
-_NGRAM_MODEL: tuple | None = None
+_NGRAM_MODELS: dict[int, tuple] = {}  # keyed by min_count
 
 
 def _collapse_lower(col: Column) -> Column:
@@ -157,8 +157,7 @@ def ngram_langid_model(
     singletons carry real signal for closely-related language pairs).
     Pure python over the fixture corpora — deterministic, so the DuckDB
     oracle rebuilds the identical table."""
-    global _NGRAM_MODEL
-    if _NGRAM_MODEL is None:
+    if min_count not in _NGRAM_MODELS:
         import math
 
         from antnre_spark.langid_corpora import NGRAM_LANGS, TRAIN
@@ -194,8 +193,8 @@ def ngram_langid_model(
                 )
                 for lang in NGRAM_LANGS
             ]
-        _NGRAM_MODEL = (list(NGRAM_LANGS), table, oov)
-    return _NGRAM_MODEL
+        _NGRAM_MODELS[min_count] = (list(NGRAM_LANGS), table, oov)
+    return _NGRAM_MODELS[min_count]
 
 
 def language_id_ngram(

@@ -215,6 +215,35 @@ class TestSimSearch:
             for rank, r in enumerate(single, start=1):
                 assert batch[(qid, rank)] == (r["vec_id"], r["cosine"])
 
+    def test_batch_zero_query_yields_no_nans(self, spark):
+        """An all-zero query vector must produce cosine 0.0 rows, never
+        NaNs (Spark sorts NaN above every real value, so unguarded NaNs
+        would take rank 1..k — r4 self-review)."""
+        import math
+
+        rows = [(i, [float(i + 1), 1.0, 0.5, 0.25]) for i in range(20)]
+        rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        cents = simsearch.kmeans_centroids(df, n_centroids=4, sample_size=8)
+        idx = simsearch.ivf_index(df, cents)
+        queries = df.filter(F.col("vec_id") == 99).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = simsearch.ivf_topk_batch(idx, queries, cents, k=3).collect()
+        assert got, "zero query probes populated cells -> rows expected"
+        assert all(
+            not math.isnan(r["cosine"]) and r["cosine"] == 0.0 for r in got
+        )
+        # the LSH leg may legitimately return nothing (the zero query's
+        # all-ones bucket and its Hamming-1 neighbors can be empty) —
+        # what it must NOT do is emit NaNs or throw ANSI divide-by-zero
+        lsh = simsearch.bucketed_topk_batch(
+            simsearch.bucketed_index(df, dim=4), queries, dim=4, k=3
+        ).collect()
+        assert all(
+            not math.isnan(r["cosine"]) and r["cosine"] == 0.0 for r in lsh
+        )
+
     def test_bucketed_batch_matches_per_query_loop(self, spark):
         """Same contract for the hyperplane-LSH batch path: per-query
         probes (bucket + Hamming-1) computed as column expressions must

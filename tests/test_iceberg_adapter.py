@@ -68,6 +68,26 @@ class TestFactory:
             )
         )
 
+    def test_available_sees_runtime_conf(self):
+        """A catalog registered AFTER session start (spark.conf.set)
+        lives only in the runtime SQL conf — the probe must consult
+        `SET`, not just the immutable SparkConf snapshot."""
+        spark = make_spark({})
+        spark.sql.return_value.collect.return_value = [
+            {"key": "spark.sql.catalog.cat",
+             "value": "org.apache.iceberg.spark.SparkCatalog"},
+            {"key": "spark.sql.catalog.cat.type", "value": "hadoop"},
+        ]
+        assert iceberg_available(spark)
+        spark.sql.assert_called_once_with("SET")
+
+    def test_available_ignores_catalog_subkeys(self):
+        spark = make_spark({})
+        spark.sql.return_value.collect.return_value = [
+            {"key": "spark.sql.catalog.cat.warehouse", "value": "/x/iceberg"},
+        ]
+        assert not iceberg_available(spark)
+
 
 class TestWrites:
     def test_append_on_existing_table(self):

@@ -117,6 +117,41 @@ class TestGroupedMapVariant:
             b = {tuple(r) for r in explode(fused).collect()}
             assert a == b and a
 
+    def test_fused_tokenizer_matches_jvm_on_nasty_whitespace(
+        self, spark, model_bcs
+    ):
+        """The fused path must reproduce the JVM tokenizer on inputs the
+        clean fixtures never exercise: Spark `trim` strips only 0x20 and
+        Java \\s is ASCII-only, so leading/trailing tabs keep EMPTY
+        tokens and NBSP is NOT a separator. The r4 self-review found the
+        naive python strip()/\\s version diverging here — this pins the
+        exact-replica fix (mentions AND relations, full row equality)."""
+        w_bc, v_bc, key = model_bcs
+        from datetime import datetime
+
+        from antnre_spark.schema import TRANSCRIPTS
+
+        ts = datetime(2026, 1, 1)
+        nasty = [
+            ("w1", 0, "user", "\tJohn Smith works for Acme Corp .", None, ts),
+            ("w2", 0, "user", "John Smith works for Acme Corp .\t", None, ts),
+            ("w3", 0, "user", "John Smith works for Acme Corp .", None, ts),
+            ("w4", 0, "user", "  John   Smith\nworks for Acme Corp . ", None, ts),
+            ("w5", 0, "user", "John Smith lives in Gotham .\r\nAcme Corp is based in Gotham .", None, ts),
+            ("w6", 0, "user", " ", None, ts),
+        ]
+        turns = assemble.filter_extractable(
+            spark.createDataFrame(nasty, TRANSCRIPTS)
+        )
+        staged = extract.extract_sentences(
+            segment.segment_turns(turns), w_bc, v_bc, model_key=key
+        )
+        fused = extract.extract_turns(turns, w_bc, v_bc, model_key=key)
+        for explode in (extract.explode_mentions, extract.explode_relations):
+            a = sorted(tuple(r) for r in explode(staged).collect())
+            b = sorted(tuple(r) for r in explode(fused).collect())
+            assert a == b
+
     def test_mapinarrow_equals_mapinpandas(
         self, spark, transcripts_df, model_bcs
     ):

@@ -215,6 +215,57 @@ class TestSimSearch:
             for rank, r in enumerate(single, start=1):
                 assert batch[(qid, rank)] == (r["vec_id"], r["cosine"])
 
+    def test_materialized_ivf_index_prunes_to_probed_cells(
+        self, spark, tmp_path
+    ):
+        """The 100-TB retrieval story end-to-end: write the IVF index
+        cell-partitioned through IceLite, then serve a query from ONLY
+        the probed cells' files (manifest-level pruning — no listing,
+        no full scan) with results identical to querying the full
+        index."""
+        import numpy as np
+
+        from antnre_spark.icelite import IceLite
+
+        rng = np.random.default_rng(5)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        cents = simsearch.kmeans_centroids(df, n_centroids=6, sample_size=48)
+        idx = simsearch.ivf_index(df, cents)
+        t = IceLite(str(tmp_path / "ivf_index"))
+        t.overwrite_partitions(idx, ["cell"])
+
+        query = rows[0][1]
+        # the same probe computation ivf_topk does driver-side
+        vv = sum(x * x for x in query)
+        d = sorted(
+            (
+                vv - 2 * sum(x * w for x, w in zip(query, c))
+                + sum(x * x for x in c),
+                ci + 1,
+            )
+            for ci, c in enumerate(cents)
+        )
+        probes = [cell for _d, cell in d[:2]]
+
+        manifest = t.manifest(t.current_snapshot())
+        pruned_files = [
+            f for f in manifest["files"]
+            if int(f["partitions"]["cell"]) in probes
+        ]
+        assert 0 < len(pruned_files) < len(manifest["files"])
+
+        pruned = t.load(
+            spark, partition_filter={"cell": [str(c) for c in probes]}
+        )
+        assert pruned.count() == sum(f["rows"] for f in pruned_files)
+        got = simsearch.ivf_topk(pruned, query, cents, k=5, nprobe=2).collect()
+        want = simsearch.ivf_topk(idx, query, cents, k=5, nprobe=2).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
     def test_batch_zero_query_yields_no_nans(self, spark):
         """An all-zero query vector must produce cosine 0.0 rows, never
         NaNs (Spark sorts NaN above every real value, so unguarded NaNs

@@ -25,8 +25,11 @@ Modules map to SURVEY.md §2 operator families:
   icelite      IcebergLite snapshot/manifest table layer (§7.4)
   metrics      _markers lineage / completion-marker table (§3.3)
   pipeline     end-to-end jobs with per-partition resume
-  textops      language-ID (8 langs), quality scoring + char-trigram
-               LM proxy, whitespace + BPE-ish token counts, fingerprints
+  textops      language-ID (trained 14-lang char-trigram NB + stopword
+               heuristic), quality scoring + char-trigram LM proxy,
+               whitespace + BPE-ish token counts, fingerprints
+  langid_corpora deterministic 14-language training/held-out prose for
+               the NB language identifier
   dedup        exact / MinHash-LSH / SimHash / n-gram-Jaccard /
                cosine-LSH (single-set + banded multi-plane) document
                dedup (+ bucket-stats pre-flight)
@@ -34,15 +37,20 @@ Modules map to SURVEY.md §2 operator families:
                keeper selection
   simsearch    brute-force + LSH-bucketed + IVF cosine top-k over
                embeddings (md5-hash quantizer sample + distributed
-               Lloyd refresh)
+               Lloyd refresh) + bulk batch kNN (ivf_topk_batch /
+               bucketed_topk_batch)
   streaming    foreachBatch extraction (idempotent per-batch overwrite),
                watermarked session windows, applyInPandasWithState
                stateful document assembly
   multimodal   binary media columns: byte-capped decode batches, frame
-               plans (codec kernels stubbed deterministically)
+               plans, REAL pure-numpy PPM/WAV decode kernels with a
+               flagged byte-stat fallback
+  train        distributed relation-decoder training (frozen-encoder
+               features, data-parallel gradient all-reduce)
+  iceberg_adapter flag-guarded real-Iceberg twin of the IceLite surface
   evaluate     CoNLL04-style P/R/F1 vs the golden oracle tables
   sources      CoNLL04-format corpus reader/writer
   hashing      shared deterministic MinHash/gram primitives (no pyspark)
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"

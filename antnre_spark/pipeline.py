@@ -48,13 +48,31 @@ class PipelineConfig:
     jaccard_tau: float = link.JACCARD_TAU
     max_turns_per_doc: int = assemble.MAX_TURNS_PER_DOC
     model_hash: str = field(default="")
+    # real-Iceberg cutover (DEPLOY.md §Iceberg cutover): set to a
+    # "catalog.db" namespace on a session with an Iceberg catalog
+    # configured and every pipeline table routes through
+    # iceberg_adapter.IcebergTable instead of the IceLite layer. None
+    # (default) keeps the parquet+manifest facade — the sandbox path.
+    iceberg_namespace: str | None = None
 
     def __post_init__(self) -> None:
         if not self.model_hash and os.path.exists(self.weights_npz):
             with open(self.weights_npz, "rb") as f:
                 self.model_hash = hashlib.sha256(f.read()).hexdigest()[:16]
 
-    def table(self, name: str) -> IceLite:
+    def table(self, name: str):
+        if self.iceberg_namespace:
+            from pyspark.sql import SparkSession
+
+            from antnre_spark.iceberg_adapter import IcebergTable
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "iceberg_namespace is set but no active SparkSession "
+                    "exists — construct the session before the pipeline"
+                )
+            return IcebergTable(spark, f"{self.iceberg_namespace}.{name}")
         return IceLite(os.path.join(self.out_root, name))
 
     def markers(self) -> MarkerStore:

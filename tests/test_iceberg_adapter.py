@@ -182,3 +182,29 @@ class TestSnapshots:
         assert t.snapshots() == []
         assert t.current_snapshot() is None
         assert t.total_rows() == 0
+
+
+class TestPipelineCutover:
+    def test_config_routes_tables_through_adapter(self, spark, tmp_path):
+        """PipelineConfig(iceberg_namespace=...) makes EVERY pipeline
+        table an IcebergTable with the namespaced identifier — the whole
+        cutover is one config field (DEPLOY.md). Default stays IceLite."""
+        from antnre_spark.pipeline import PipelineConfig
+
+        cfg = PipelineConfig(
+            out_root=str(tmp_path),
+            weights_npz="/nonexistent.npz",
+            vocab_json="/nonexistent.json",
+            iceberg_namespace="cat.kg",
+        )
+        t = cfg.table("triples")
+        assert isinstance(t, IcebergTable)
+        assert t.identifier == "cat.kg.triples"
+        assert t.spark is spark  # the active session
+
+        plain = PipelineConfig(
+            out_root=str(tmp_path),
+            weights_npz="/nonexistent.npz",
+            vocab_json="/nonexistent.json",
+        )
+        assert isinstance(plain.table("triples"), IceLite)

@@ -152,6 +152,31 @@ class TestGroupedMapVariant:
             b = sorted(tuple(r) for r in explode(fused).collect())
             assert a == b
 
+    def test_jvm_tokens_replica_on_random_whitespace_soup(self, spark):
+        """_jvm_tokens vs the real JVM expression on 200 seeded random
+        strings over an adversarial alphabet (tabs, newlines, CR, NBSP,
+        vertical tab, form feed, punctuation, unicode letters): the
+        python replica must produce byte-identical token arrays."""
+        import random
+
+        from antnre_spark.extract import _jvm_tokens
+
+        rng = random.Random(99)
+        alphabet = list(" \t\n\r\x0b\f\u00a0\u2009abcXYZ.!?'éüğ0")
+        cases = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], ["i", "s"])
+        jvm = {
+            r["i"]: list(r["t"])
+            for r in df.select(
+                "i", F.split(F.trim("s"), r"\s+").alias("t")
+            ).collect()
+        }
+        for i, s in enumerate(cases):
+            assert _jvm_tokens(s) == jvm[i], (i, repr(s))
+
     def test_mapinarrow_equals_mapinpandas(
         self, spark, transcripts_df, model_bcs
     ):

@@ -49,16 +49,15 @@ GRAD_SCHEMA = "grad array<double>, loss double, n long"
 
 
 def _pair_rows(
-    model: AntNREModel,
-    tokens: list[str],
+    hidden: np.ndarray,
     spans: list[tuple[int, int, str]],
     gold_rels: dict[tuple[int, int], int],
 ) -> Iterator[tuple[list[float], int]]:
     """Features + labels for every admissible ordered mention pair of
-    one sentence — the identical feature recipe as
+    one ENCODED sentence — the identical feature recipe as
     nnmodel.classify_relations (span means, between-segment mean,
-    MAX_PAIR_DISTANCE admissibility)."""
-    (hidden, _tok_ids), = model.encode([tokens])
+    MAX_PAIR_DISTANCE admissibility). The encoder forward runs batched
+    in the caller (one model call per Arrow batch, like inference)."""
     span_vecs = {
         i: hidden[b:e].mean(axis=0) for i, (b, e, _t) in enumerate(spans)
     }
@@ -83,13 +82,24 @@ def pair_training_frame(
     Distributed frozen-encoder feature extraction (step 1)."""
     from antnre_spark.extract import _model_for
 
+    from antnre_spark.extract import TOKEN_BUDGET, _budget_bounds
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _model_for(weights_bc, vocab_bc, model_key)
         for pdf in batches:
+            toks_all = [list(t) for t in pdf["tokens"]]
+            # ONE batched encoder forward per token-budget chunk — the
+            # same batching discipline as inference (a per-sentence
+            # encode() loop pays the padded-matrix setup per row)
+            encoded: list = []
+            for lo, hi in _budget_bounds(
+                [len(t) for t in toks_all], TOKEN_BUDGET
+            ):
+                encoded.extend(model.encode(toks_all[lo:hi]))
             feats: list[list[float]] = []
             labels: list[int] = []
-            for tokens, spans, rels in zip(
-                pdf["tokens"], pdf["ent_spans"], pdf["relations"]
+            for (hidden, _tok_ids), spans, rels in zip(
+                encoded, pdf["ent_spans"], pdf["relations"]
             ):
                 span_list = [
                     (int(s["begin"]), int(s["end"]), str(s["ent_type"]))
@@ -101,9 +111,7 @@ def pair_training_frame(
                     )
                     for r in rels
                 }
-                for feat, label in _pair_rows(
-                    model, list(tokens), span_list, gold_rels
-                ):
+                for feat, label in _pair_rows(hidden, span_list, gold_rels):
                     feats.append(feat)
                     labels.append(label)
             if feats:

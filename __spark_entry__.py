@@ -1432,6 +1432,27 @@ WHERE {cos} >= {_BANDED_TAU}
 """
 
 
+def _assert_no_degenerate_embeddings(sf_dir: str) -> None:
+    """The ANN indexes (simsearch.ivf_index / bucketed_index) exclude
+    null and zero-norm vectors; the DuckDB twins mirror that filter on
+    their index CTEs, but the query / exact-verify legs intentionally
+    read the raw table on BOTH engines. A fixture that ever contained a
+    null/zero embedding would silently diverge (or divide by zero) —
+    fail loudly here instead (r4 ADVICE)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    col = t["embedding"].combine_chunks()
+    if col.null_count:
+        raise AssertionError(f"{sf_dir}: null embeddings present")
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    dim = len(col[0])
+    norms = (flat.reshape(-1, dim) ** 2).sum(axis=1)
+    if not (norms > 0).all():
+        raise AssertionError(f"{sf_dir}: zero-norm embeddings present")
+
+
 def _oracle_sf_dir() -> str:
     """The sf dir the oracle SQL is generated against. The graft driver
     compares at sf0.01; tools/check_contract.py exports its --sf here so
@@ -1515,7 +1536,7 @@ WITH e AS (
 n AS (
   SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
   FROM e),
-b AS (SELECT vec_id, v, nrm, {bkt} AS bkt FROM n),
+b AS (SELECT vec_id, v, nrm, {bkt} AS bkt FROM n WHERE nrm > 0),
 q AS (SELECT v AS qv, nrm AS qn, bkt AS qb FROM b WHERE vec_id = 0)
 SELECT vec_id,
        round(list_dot_product(v, qv) / (nrm * qn), 6) AS cosine
@@ -1556,6 +1577,7 @@ def _ss_ivf_sql(sf_dir: str | None = None, n_centroids: int = 16, nprobe: int = 
     from antnre_spark.simsearch import kmeans_from_points
 
     sf = sf_dir or _oracle_sf_dir()
+    _assert_no_degenerate_embeddings(sf)
     t = pq.read_table(
         f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).to_pandas()
@@ -1607,7 +1629,7 @@ q AS (SELECT v AS qv, nrm AS qn FROM a WHERE vec_id = 0)
 SELECT vec_id,
        round(list_dot_product(v, qv) / (nrm * qn), 6) AS cosine
 FROM a, q
-WHERE cell IN ({probes})
+WHERE a.nrm > 0 AND cell IN ({probes})
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
@@ -1701,6 +1723,7 @@ def _ss_ivf_batch_sql(
     from antnre_spark.simsearch import kmeans_from_points
 
     sf = sf_dir or _oracle_sf_dir()
+    _assert_no_degenerate_embeddings(sf)
     t = pq.read_table(
         f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).to_pandas()
@@ -1740,7 +1763,7 @@ probes AS (
   WHERE pr <= {nprobe}),
 idx AS (SELECT vec_id, v, nrm,
                list_indexof(dl, list_aggregate(dl, 'min')) AS cell
-        FROM a),
+        FROM a WHERE nrm > 0),
 approx AS (
   SELECT query_id, vec_id, cosine,
          row_number() OVER (PARTITION BY query_id

@@ -216,8 +216,24 @@ class IcebergTable:
         if not rows:
             return 0
         if snapshot is None:
-            return int(rows[-1]["n"])
+            # snapshots produced by delete/replace/maintenance commits can
+            # lack the 'total-records' summary key (n is then NULL): walk
+            # backwards to the latest snapshot that carries it instead of
+            # crashing with TypeError on int(None) (r4 ADVICE).
+            for r in reversed(rows):
+                if r["n"] is not None:
+                    return int(r["n"])
+            raise ValueError(
+                f"no snapshot of {self.identifier} carries a "
+                "'total-records' summary; compute the count with a scan "
+                f"(spark.table('{self.identifier}').count())"
+            )
         for r in rows:
             if int(r["snapshot_id"]) == snapshot:
+                if r["n"] is None:
+                    raise ValueError(
+                        f"snapshot {snapshot} of {self.identifier} has no "
+                        "'total-records' summary (maintenance commit?)"
+                    )
                 return int(r["n"])
         raise KeyError(f"unknown snapshot {snapshot} for {self.identifier}")

@@ -26,6 +26,8 @@ G7 canonical representative + entity_id.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -357,6 +359,50 @@ def _star_components(sym: DataFrame, max_rounds: int = 50) -> DataFrame:
     )
 
 
+# reliable-checkpoint dirs installed via connected_components(
+# checkpoint_dir=...) this process; swept by sweep_checkpoints() once the
+# caller has materialized every output that may lazily read them. Bounds
+# the otherwise-unbounded checkpoint-store growth on long-running
+# drivers (r4 ADVICE).
+_INSTALLED_CHECKPOINT_DIRS: list[str] = []
+
+
+def installed_checkpoint_dirs() -> list[str]:
+    """Checkpoint dirs this process installed and has not yet swept."""
+    return list(_INSTALLED_CHECKPOINT_DIRS)
+
+
+def sweep_checkpoints(spark=None) -> int:
+    """Delete the contents of every checkpoint dir installed by
+    ``connected_components(checkpoint_dir=...)`` and un-install the
+    session's checkpoint dir if it points at one of them. Call AFTER
+    materializing (writing/collecting) every DataFrame that rode a
+    checkpointed lineage — their blocks live in these dirs. Returns the
+    number of filesystem entries removed. Local-filesystem paths only
+    (shutil); on HDFS/S3 the caller sweeps with the store's own tooling,
+    same as any Spark checkpoint location."""
+    import shutil
+
+    removed = 0
+    for d in list(_INSTALLED_CHECKPOINT_DIRS):
+        if os.path.isdir(d):
+            for entry in os.listdir(d):
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+                removed += 1
+        _INSTALLED_CHECKPOINT_DIRS.remove(d)
+        if spark is not None:
+            cur = spark.sparkContext.getCheckpointDir()
+            # Spark normalizes the dir to a URI (file:/...) AND appends a
+            # per-install UUID subdir — match on the parent path
+            if cur is not None:
+                cur_path = os.path.abspath(cur.removeprefix("file:"))
+                if cur_path == os.path.abspath(d) or cur_path.startswith(
+                    os.path.abspath(d) + os.sep
+                ):
+                    spark.sparkContext.setCheckpointDir(None)
+    return removed
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -403,14 +449,16 @@ def connected_components(
     keep using reliable checkpoints (call
     ``sc.setCheckpointDir(None)`` to revert, as the tests do). The
     checkpoint FILES cannot be deleted here because the returned labels
-    frame lazily reads them; either set
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` on the
-    session (GC-driven cleanup) or delete the dir after the job's
-    outputs are materialized — the caller owns the dir, same as any
-    Spark job's checkpoint location.
+    frame lazily reads them; every dir installed by this function is
+    recorded, and ``sweep_checkpoints()`` deletes their contents once the
+    job's outputs are materialized (the explicit-sweep contract — the GC
+    route, ``spark.cleaner.referenceTracking.cleanCheckpoints``, must be
+    set before the JVM starts and is therefore not installable here).
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        if checkpoint_dir not in _INSTALLED_CHECKPOINT_DIRS:
+            _INSTALLED_CHECKPOINT_DIRS.append(checkpoint_dir)
     sym = edges.select("ent_type", F.col("norm_a").alias("src"), F.col("norm_b").alias("dst")).unionByName(
         edges.select("ent_type", F.col("norm_b").alias("src"), F.col("norm_a").alias("dst"))
     )

@@ -206,6 +206,9 @@ def fit_relation_decoder(
         ).alias("ss"),
         F.size("feat").alias("d"),
     ).agg(F.sum("ss").alias("ss"), F.sum("d").alias("d")).collect()[0]
+    if not agg["d"]:  # empty frame: sums are NULL (r4 ADVICE — fail here
+        # with the intended error, not np.sqrt(None/None) TypeError)
+        raise ValueError("no training pairs")
     scale = float(np.sqrt(agg["ss"] / agg["d"])) or 1.0
 
     rng = np.random.default_rng(seed)

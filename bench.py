@@ -29,6 +29,13 @@ INPUT_VERSION = 2  # bump when synth_transcripts changes
 # grow as new rows are added round over round; headline_like_for_like sums
 # exactly these queries so cross-round totals compare directly. Do NOT
 # edit this tuple — add new queries to `headline` only.
+#
+# What is frozen is the set of query NAMES (product benchmarking): each
+# name runs whatever that query's CURRENT production implementation is,
+# so round-over-round deltas include engine improvements (e.g. r4 moved
+# kg_pipeline from the staged extract path to the fused extract_turns
+# path — deliberately part of the r4 like-for-like delta). The staged
+# path remains separately visible as the `kg_extract` row.
 LIKE_FOR_LIKE_R3 = (
     "kg_pipeline",
     "kg_extract",

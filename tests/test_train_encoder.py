@@ -1,0 +1,129 @@
+"""Distributed mention-detector + joint training (train.fit_joint):
+from a DEGRADED init the CRF-NLL/encoder-backprop trainer must recover
+held-out entity F1 to >= 0.95 of the fixture weights' F1, and the joint
+objective must beat decoder-only training on held-out triple F1 — the
+claims the round-4 verdict asked this round to prove."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from antnre_spark import train
+from antnre_spark.extract import broadcast_model
+
+
+def _degrade(w: dict[str, np.ndarray], rng: np.random.Generator, rel_too: bool):
+    """Remove the fixture's engineered signal: zero the gazetteer
+    emission table (the lexical nudges that make the untrained fixture
+    discriminate), re-randomize the emission head + transitions, and
+    (optionally) the relation MLP. What's left cannot tag — held-out
+    mention F1 measures ~0.03 (calibration run) — so recovery is learned,
+    not residual."""
+    wd = dict(w)
+    wd["gaz_emis"] = np.zeros_like(w["gaz_emis"])
+    wd["emit_W"] = (rng.standard_normal(w["emit_W"].shape) * 0.1).astype(np.float32)
+    wd["crf_transitions"] = (
+        rng.standard_normal(w["crf_transitions"].shape) * 0.01
+    ).astype(np.float32)
+    if rel_too:
+        wd["rel_W1"] = (rng.standard_normal(w["rel_W1"].shape) * 0.05).astype(np.float32)
+        wd["rel_W2"] = (rng.standard_normal(w["rel_W2"].shape) * 0.05).astype(np.float32)
+        wd["rel_b1"] = np.zeros_like(w["rel_b1"])
+        wd["rel_b2"] = np.zeros_like(w["rel_b2"])
+    return wd
+
+
+@pytest.fixture(scope="module")
+def gold_split(spark, fixture_paths):
+    """Deterministic hash 80/20 split of the gold table; train side stays
+    a (cached) DataFrame, held-out side becomes driver-local sentence
+    dicts for inference-path evaluation."""
+    gold = spark.read.parquet(fixture_paths["gold"])
+    key = F.md5(
+        F.concat_ws(":", "conv_id", F.col("turn_idx"), F.col("sent_idx"))
+    )
+    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % 5
+    train_df = gold.filter(bucket != 0).persist()
+    train_df.count()
+    heldout = train.sentences_from_gold_rows(
+        [r.asDict(recursive=True) for r in gold.filter(bucket == 0).collect()]
+    )
+    yield train_df, heldout
+    train_df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def fixture_model(fixture_paths):
+    with np.load(fixture_paths["weights"]) as z:
+        w = {k: z[k] for k in z.files}
+    with open(fixture_paths["vocab"]) as f:
+        vocab = json.load(f)
+    return w, vocab
+
+
+class TestMentionDetectorTraining:
+    def test_recovers_from_degraded_init(self, gold_split, fixture_model):
+        train_df, heldout = gold_split
+        w, vocab = fixture_model
+        assert len(heldout) > 100
+        base = train.mention_prf(w, vocab, heldout)["f1"]
+        wd = _degrade(w, np.random.default_rng(0), rel_too=False)
+        degraded = train.mention_prf(wd, vocab, heldout)["f1"]
+        assert degraded < 0.2, "degradation must actually break the model"
+
+        trained, history = train.fit_joint(
+            train_df, wd, vocab, epochs=12, lr=0.05, rel_weight=0.0
+        )
+        assert history[-1]["crf"] < 0.1 * history[0]["crf"]
+        got = train.mention_prf(trained, vocab, heldout)["f1"]
+        assert got >= 0.95 * base, (got, base, history)
+        # trained arrays carry the inference dtype
+        assert trained["emit_W"].dtype == np.float32
+        # rel decoder untouched in detector-only mode
+        np.testing.assert_array_equal(trained["rel_W1"], wd["rel_W1"])
+
+    def test_joint_beats_decoder_only_on_triples(
+        self, spark, gold_split, fixture_model, fixture_paths
+    ):
+        """With BOTH the encoder and the relation decoder degraded,
+        decoder-only training (frozen broken encoder) cannot recover
+        triples; the joint objective retrains everything and must land
+        within 5 points of the fixture's own triple F1 AND clearly above
+        the decoder-only run."""
+        train_df, heldout = gold_split
+        w, vocab = fixture_model
+        wd = _degrade(w, np.random.default_rng(0), rel_too=True)
+        assert train.triple_prf(wd, vocab, heldout)["f1"] < 0.1
+
+        # decoder-only: frozen degraded encoder features -> rel MLP fit
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            npz = f"{td}/degraded.npz"
+            np.savez(npz, **wd)
+            w_bc, v_bc, key = broadcast_model(
+                spark, npz, fixture_paths["vocab"]
+            )
+            pairs = train.pair_training_frame(
+                train_df, w_bc, v_bc, key
+            ).persist()
+            pairs.count()
+            dim_in = len(pairs.first()["feat"])
+            dec_w, _h = train.fit_relation_decoder(
+                pairs, dim_in=dim_in, epochs=60, lr=0.1
+            )
+            pairs.unpersist()
+        dec_only = dict(wd, **dec_w)
+        dec_f1 = train.triple_prf(dec_only, vocab, heldout)["f1"]
+
+        joint, history = train.fit_joint(
+            train_df, wd, vocab, epochs=30, lr=0.05, rel_weight=1.0
+        )
+        joint_f1 = train.triple_prf(joint, vocab, heldout)["f1"]
+        base_f1 = train.triple_prf(w, vocab, heldout)["f1"]
+        assert joint_f1 >= base_f1 - 0.05, (joint_f1, base_f1)
+        assert joint_f1 >= dec_f1 + 0.3, (joint_f1, dec_f1, history[-5:])

@@ -94,13 +94,17 @@ def curate_corpus(
     # (r4, textops.language_id_ngram — broadcast gram-table join, joined
     # back on doc_id); 'stopword' keeps the 8-language heuristic (the
     # deterministic default the verify loop pins its counts to).
+    # Trigram scoring uses the broadcast-JOIN path (r4 verdict task 3:
+    # O(1) hash probe per gram at any table size, vs the map literal's
+    # linear scan; value-identical after round(4) — tested) — this job is
+    # the corpus-scale gate the map path does not scale for.
     if langid_model == "ngram":
         preds = textops.language_id_ngram(docs)
-        scored = textops.with_trigram_logprob(
+        scored = textops.with_trigram_logprob_join(
             textops.with_token_count(docs)
         ).join(preds, "doc_id")
     else:
-        scored = textops.with_trigram_logprob(
+        scored = textops.with_trigram_logprob_join(
             textops.with_language_id(textops.with_token_count(docs))
         )
     cond = (F.col("n_tokens") >= min_tokens) & (

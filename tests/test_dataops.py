@@ -378,6 +378,32 @@ class TestTextOps:
         }
         assert got == again
 
+    def test_trigram_join_path_matches_map_path(self, spark):
+        """r4 verdict task 3: the broadcast-join trigram scorer (the
+        corpus-scale path the curation job now uses) must be
+        value-identical to the map-literal path after round(4) — on the
+        real testdata documents AND on edge rows (empty text, whitespace,
+        sub-3-char, null)."""
+        import os
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        edge = spark.createDataFrame(
+            [(90001, ""), (90002, "   "), (90003, "ab"), (90004, None)],
+            "doc_id long, text string",
+        )
+        both = docs.unionByName(edge)
+        a = textops.with_trigram_logprob(both).select(
+            "doc_id", F.col("trigram_logp").alias("m")
+        )
+        b = textops.with_trigram_logprob_join(both).select(
+            "doc_id", F.col("trigram_logp").alias("j")
+        )
+        mism = a.join(b, "doc_id").filter("m IS DISTINCT FROM j").count()
+        assert mism == 0
+
     def test_fingerprint_order_sensitive(self, spark):
         df = spark.createDataFrame(
             [(0, "alpha beta"), (1, "beta alpha")], ["doc_id", "text"]

@@ -255,6 +255,38 @@ def minhash_dup_candidates(
     )
 
 
+def minhash_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Pre-flight sizing check for minhash_dup_candidates — the mirror of
+    cosine_bucket_stats for the MinHash/LSH band caps (r4 verdict task 4:
+    the cap at minhash_dup_candidates dropped oversized bands with only a
+    docstring warning; caps must be a *measured* decision everywhere).
+
+    One row: band count, max/mean band size, and dropped_frac — the
+    fraction of band MEMBERSHIPS the max_bucket cap would discard at this
+    banding. A membership dropped from one oversized band does not remove
+    the document from the others, so dropped_frac ~ the upper bound on
+    lost candidate-recall mass, not lost documents. If it is not ~0,
+    raise max_bucket or re-band before running the join."""
+    df = _ensure_parallelism(df)
+    signed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_doc_band_udf(normalize_text(F.col(text_col)))).alias("band"),
+    )
+    sizes = signed.groupBy("band").agg(F.count("*").alias("n"))
+    dropped = F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0))
+    return sizes.agg(
+        F.count("*").alias("n_bands"),
+        F.max("n").alias("max_band_size"),
+        F.round(F.avg("n"), 2).alias("mean_band_size"),
+        F.round(dropped / F.sum("n"), 6).alias("dropped_frac"),
+    )
+
+
 # ---- SimHash ------------------------------------------------------------
 
 

@@ -209,6 +209,28 @@ def candidate_pairs(
     )
 
 
+def band_bucket_stats(
+    surfaces: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Pre-flight sizing check for candidate_pairs' (ent_type, band)
+    buckets — one row per ent_type with band count, max/mean band size,
+    and the fraction of band memberships the max_bucket cap would drop
+    (r4 verdict task 4; same contract as dedup.minhash_bucket_stats /
+    dedup.cosine_bucket_stats: the cap stays, but its cost is measured
+    up front instead of silently eaten mid-job)."""
+    signed = surfaces.withColumn("s", _sign_udf(F.col("norm"))).select(
+        "ent_type", F.explode(F.col("s.bands")).alias("band")
+    )
+    sizes = signed.groupBy("ent_type", "band").agg(F.count("*").alias("n"))
+    dropped = F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0))
+    return sizes.groupBy("ent_type").agg(
+        F.count("*").alias("n_bands"),
+        F.max("n").alias("max_band_size"),
+        F.round(F.avg("n"), 2).alias("mean_band_size"),
+        F.round(dropped / F.sum("n"), 6).alias("dropped_frac"),
+    )
+
+
 def _local_union_find(
     edge_rows: list, spark, nodes: DataFrame
 ) -> DataFrame:

@@ -117,6 +117,38 @@ def _sign_udf(surfaces: pd.Series) -> pd.DataFrame:
     )
 
 
+def surface_counts(mentions: DataFrame) -> DataFrame:
+    """Stage 1 of distinct_surfaces: per-(ent_type, norm, raw surface)
+    mention counts. Split out (r5) because these per-raw counts are the
+    MERGEABLE representation of the surface table — sums compose across
+    micro-batches, whereas the norm-level top_surface pick does not. The
+    streaming incremental linker persists exactly this frame per
+    batch_id and merges with merge_surface_counts."""
+    return (
+        mentions.select("ent_type", "surface")
+        .withColumn("norm", normalize_surface(F.col("surface")))
+        .groupBy("ent_type", "norm", "surface")
+        .agg(F.count("*").alias("n_raw"))
+    )
+
+
+def merge_surface_counts(per_raw: DataFrame) -> DataFrame:
+    """Stage 2 of distinct_surfaces over (possibly multi-batch) per-raw
+    counts: re-sum per raw surface, then the norm-level rollup with the
+    same most-frequent / lexicographic-min canonical pick. Feeding
+    single-batch counts through this equals distinct_surfaces exactly."""
+    summed = per_raw.groupBy("ent_type", "norm", "surface").agg(
+        F.sum("n_raw").alias("n_raw")
+    )
+    return summed.groupBy("ent_type", "norm").agg(
+        F.sum("n_raw").alias("n_mentions"),
+        # most frequent raw surface; tie -> lexicographic min (total order)
+        F.expr("min_by(surface, struct(-n_raw as a, surface as b))").alias(
+            "top_surface"
+        ),
+    )
+
+
 def distinct_surfaces(mentions: DataFrame) -> DataFrame:
     """mentions -> one row per (ent_type, norm): mention count + the most
     frequent raw surface (tie -> lexicographically smallest).
@@ -126,19 +158,7 @@ def distinct_surfaces(mentions: DataFrame) -> DataFrame:
     before the (ent_type, norm) reduce — no single reducer sees raw mention
     rows (same effect as an explicit salt for this shape).
     """
-    per_raw = (
-        mentions.select("ent_type", "surface")
-        .withColumn("norm", normalize_surface(F.col("surface")))
-        .groupBy("ent_type", "norm", "surface")
-        .agg(F.count("*").alias("n_raw"))
-    )
-    return per_raw.groupBy("ent_type", "norm").agg(
-        F.sum("n_raw").alias("n_mentions"),
-        # most frequent raw surface; tie -> lexicographic min (total order)
-        F.expr("min_by(surface, struct(-n_raw as a, surface as b))").alias(
-            "top_surface"
-        ),
-    )
+    return merge_surface_counts(surface_counts(mentions))
 
 
 def candidate_pairs(
@@ -719,8 +739,28 @@ def link_entities(
     build_entities both read it); the caller that runs the final actions
     unpersists it (pipeline.link_job does).
     """
-    surfaces = distinct_surfaces(mentions)
-    spark = mentions.sparkSession
+    return link_surfaces(
+        distinct_surfaces(mentions),
+        tau=tau,
+        max_bucket=max_bucket,
+        local_threshold=local_threshold,
+    )
+
+
+def link_surfaces(
+    surfaces: DataFrame,
+    tau: float = JACCARD_TAU,
+    max_bucket: int = MAX_BUCKET,
+    local_threshold: int = LOCAL_LINK_MAX_SURFACES,
+) -> tuple[DataFrame, DataFrame]:
+    """link_entities from a pre-built surface table (ent_type, norm,
+    n_mentions, top_surface) — the entry the streaming incremental linker
+    uses, where surfaces come from merge_surface_counts over per-batch
+    persisted counts rather than a mentions scan. Same hybrid
+    local/distributed strategy and the same cache-ownership contract
+    (``surfaces`` is cached+released here; ``surface_map`` returns
+    cached, caller unpersists)."""
+    spark = surfaces.sparkSession
     # cache BEFORE the probe: on the over-threshold path the probe's
     # limit still executes the full distinct aggregation map-side, and
     # without the cache the three distributed consumers would pay that

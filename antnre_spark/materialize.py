@@ -162,6 +162,86 @@ def build_triples(
     return _agg_triples(resolved, provenance_cap)
 
 
+def triple_partials(
+    relations: DataFrame, provenance_cap: int = PROVENANCE_CAP
+) -> DataFrame:
+    """Per-batch MERGEABLE triple aggregates keyed by the normalized
+    SURFACE pair (not entity ids) — the streaming incremental
+    materializer's unit (r4 verdict task 5).
+
+    Why surface keys: entity ids are a GLOBAL property (a new surface in
+    a later micro-batch can merge two previously-distinct entities), so
+    entity-keyed partials would need rewriting whenever linking changes.
+    The normalized surface pair never changes, so each batch's partials
+    are write-once (idempotent by batch_id overwrite), and entity
+    resolution is applied at merge time against the CURRENT surface map.
+
+    Mergeability is the _salted_triple_agg identity: max(conf) and
+    sum(n_evidence) are decomposable, and the global ascending
+    provenance top-cap is contained in the union of per-partial top-caps.
+    """
+    keyed = relations.withColumn(
+        "subj_norm", normalize_surface(F.col("subj_surface"))
+    ).withColumn("obj_norm", normalize_surface(F.col("obj_surface")))
+    return keyed.groupBy(
+        "subj_ent_type", "subj_norm", "pred", "obj_ent_type", "obj_norm"
+    ).agg(
+        F.max("conf").alias("conf"),
+        F.count("*").alias("n_evidence"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("conv_id", "turn_idx", "sent_idx"))
+            ),
+            1,
+            provenance_cap,
+        ).alias("provenance"),
+    )
+
+
+def merge_triple_partials(
+    partials: DataFrame,
+    surface_map: DataFrame,
+    provenance_cap: int = PROVENANCE_CAP,
+    broadcast_map: bool = True,
+) -> DataFrame:
+    """All-batch partials + CURRENT surface map -> the final triples
+    table, value-identical to build_triples over the same underlying
+    relations (asserted in tests/test_streaming.py). The merge shuffles
+    only |distinct surface-level triples| rows — far smaller than the
+    relation stream — so re-materializing after each micro-batch (or
+    every K batches) is the delta+compact lakehouse shape, not a
+    recompute of the corpus."""
+    sm = surface_map.select("ent_type", "norm", "entity_id")
+    if broadcast_map:
+        sm = F.broadcast(sm)
+    subj_map = sm.select(
+        F.col("ent_type").alias("subj_ent_type"),
+        F.col("norm").alias("subj_norm"),
+        F.col("entity_id").alias("subj"),
+    )
+    obj_map = sm.select(
+        F.col("ent_type").alias("obj_ent_type"),
+        F.col("norm").alias("obj_norm"),
+        F.col("entity_id").alias("obj"),
+    )
+    resolved = partials.join(
+        subj_map, ["subj_ent_type", "subj_norm"], "inner"
+    ).join(obj_map, ["obj_ent_type", "obj_norm"], "inner")
+    return (
+        resolved.groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("conf").alias("conf"),
+            F.sum("n_evidence").alias("n_evidence"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("provenance"))),
+                1,
+                provenance_cap,
+            ).alias("provenance"),
+        )
+        .select("subj", "pred", "obj", "conf", "n_evidence", "provenance")
+    )
+
+
 def build_vertices(triples: DataFrame, entities: DataFrame) -> DataFrame:
     """H3: vertex table = distinct entity ids referenced by any triple,
     joined with entity attributes (union + distinct set op)."""

@@ -29,12 +29,14 @@ from antnre_spark.icelite import IceLite
 from antnre_spark.schema import TRANSCRIPTS
 
 
-def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of transcript turns (one parquet drop per
     micro-batch; schema fixed — no inference in prod paths)."""
     return (
         spark.readStream.schema(TRANSCRIPTS)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -209,6 +211,131 @@ def start_extraction_stream(
 
     return (
         stream_transcripts(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kg_stream_tables(out_root: str) -> dict[str, IceLite]:
+    """The incremental-KG stream's sink tables (r4 verdict task 5)."""
+    return {
+        "mentions": IceLite(f"{out_root}/mentions_stream"),
+        "relations": IceLite(f"{out_root}/relations_stream"),
+        "surface_counts": IceLite(f"{out_root}/surface_counts_stream"),
+        "triple_partials": IceLite(f"{out_root}/triple_partials_stream"),
+        "triples": IceLite(f"{out_root}/triples_stream"),
+        "entities": IceLite(f"{out_root}/entities_stream"),
+    }
+
+
+def process_kg_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    tables: dict[str, IceLite],
+    weights_bc,
+    vocab_bc,
+    model_key: str,
+    tau: float | None = None,
+) -> None:
+    """One micro-batch of the FULL KG stream: extraction + incremental
+    linking + triple materialization (r4 verdict task 5 — before this,
+    a stream user still had to run the batch link_job afterwards).
+
+    Two-phase design:
+
+    1. Batch-local, idempotent-by-batch_id writes: mentions, relations,
+       per-raw SURFACE COUNTS (link.surface_counts — the mergeable form
+       of the surface table) and surface-keyed TRIPLE PARTIALS
+       (materialize.triple_partials — entity ids are global and can be
+       re-clustered by later batches, surface keys never change, so
+       partials are write-once). A foreachBatch replay overwrites its own
+       batch_id partitions, exactly like the extraction stream.
+    2. Merge + relink from the PERSISTED tables: merged surface counts ->
+       link_surfaces (the same hybrid local/distributed linker as batch)
+       -> merge_triple_partials against the CURRENT surface map ->
+       overwrite triples/entities. Deterministic from the tables alone,
+       so a replayed batch re-derives the identical output — replay-safe
+       without coordination.
+
+    Scale: phase 1 touches only the batch; phase 2 shuffles |distinct
+    surfaces| + |distinct surface-level triples| — the hub-collapsed
+    small end of the pipeline — so per-batch re-materialization is the
+    delta+compact shape, not a corpus recompute. If even that is too
+    frequent, call phase 2 every K batches (it only reads the tables)."""
+    from antnre_spark import link, materialize
+
+    if batch_df.isEmpty():
+        return
+    extracted = extract.extract_turns(
+        assemble.filter_extractable(batch_df),
+        weights_bc, vocab_bc, model_key=model_key,
+    ).persist()
+    try:
+        bid = F.lit(batch_id).alias("batch_id")
+        mentions = extract.explode_mentions(extracted)
+        relations = extract.explode_relations(extracted)
+        tables["mentions"].overwrite_partitions(
+            mentions.select("*", bid), ["batch_id"]
+        )
+        tables["relations"].overwrite_partitions(
+            relations.select("*", bid), ["batch_id"]
+        )
+        tables["surface_counts"].overwrite_partitions(
+            link.surface_counts(mentions).select("*", bid), ["batch_id"]
+        )
+        tables["triple_partials"].overwrite_partitions(
+            materialize.triple_partials(relations).select("*", bid),
+            ["batch_id"],
+        )
+    finally:
+        extracted.unpersist()
+
+    spark = batch_df.sparkSession
+    per_raw = tables["surface_counts"].load(spark).drop("batch_id")
+    surfaces = link.merge_surface_counts(per_raw)
+    surface_map, entities = link.link_surfaces(
+        surfaces, **({"tau": tau} if tau is not None else {})
+    )
+    try:
+        partials = tables["triple_partials"].load(spark).drop("batch_id")
+        triples = materialize.merge_triple_partials(partials, surface_map)
+        tables["triples"].overwrite_partitions(
+            triples.withColumn("part", F.lit(0)), ["part"]
+        )
+        tables["entities"].overwrite_partitions(
+            entities.withColumn("part", F.lit(0)), ["part"]
+        )
+    finally:
+        surface_map.unpersist()
+
+
+def start_kg_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+    weights_npz: str,
+    vocab_json: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+) -> StreamingQuery:
+    """readStream -> foreachBatch(extract + incremental link/materialize).
+    After the stream drains, ``<out_root>/triples_stream`` holds the same
+    triples the batch link_job would produce over the same turns
+    (tests/test_streaming.py::TestKgStream)."""
+    weights_bc, vocab_bc, model_key = extract.broadcast_model(
+        spark, weights_npz, vocab_json
+    )
+    tables = kg_stream_tables(out_root)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        process_kg_batch(
+            batch_df, batch_id, tables, weights_bc, vocab_bc, model_key
+        )
+
+    return (
+        stream_transcripts(spark, input_dir, max_files_per_trigger)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

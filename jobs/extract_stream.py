@@ -29,9 +29,33 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--weights", default="fixtures/data/weights.npz")
     ap.add_argument("--vocab", default="fixtures/data/vocab.json")
+    ap.add_argument(
+        "--link",
+        action="store_true",
+        help="run the FULL incremental-KG stream (r5): extraction + "
+        "per-batch surface/partial merge + linking + triple "
+        "materialization; triples_stream then equals the batch link_job "
+        "over the same turns",
+    )
     args = ap.parse_args()
 
     spark = get_spark("kg_extract_stream")
+    if args.link:
+        from antnre_spark.streaming import start_kg_stream
+
+        q = start_kg_stream(
+            spark, args.input_dir, args.out, args.weights, args.vocab,
+            args.checkpoint,
+        )
+        q.awaitTermination()
+        out = {
+            "mentions": IceLite(f"{args.out}/mentions_stream").total_rows(),
+            "relations": IceLite(f"{args.out}/relations_stream").total_rows(),
+            "triples": IceLite(f"{args.out}/triples_stream").total_rows(),
+            "entities": IceLite(f"{args.out}/entities_stream").total_rows(),
+        }
+        print(json.dumps(out))
+        return
     q = start_extraction_stream(
         spark, args.input_dir, args.out, args.weights, args.vocab, args.checkpoint
     )

@@ -162,6 +162,39 @@ class IcebergTable:
 
     # ---- reads ----------------------------------------------------------
 
+    def compact(self, spark: SparkSession | None = None, min_files: int = 2) -> dict:
+        """Iceberg's real small-file rewrite: the ``rewrite_data_files``
+        procedure (bin-pack, the default strategy). ``min_files`` maps to
+        the procedure's ``min-input-files`` option; Iceberg applies its
+        own byte-size targets on top. Signature matches IceLite.compact
+        so jobs/compact.py runs unchanged against either backend."""
+        catalog = self.identifier.split(".", 1)[0]
+        rows = self._sql(
+            f"CALL {catalog}.system.rewrite_data_files("
+            f"table => '{self.identifier}', "
+            f"options => map('min-input-files', '{min_files}'))"
+        ).collect()
+        r = rows[0] if rows else None
+        return {
+            "rewritten_data_files_count": int(r["rewritten_data_files_count"]) if r else 0,
+            "added_data_files_count": int(r["added_data_files_count"]) if r else 0,
+        }
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg's ``expire_snapshots`` procedure, retaining the newest
+        ``keep_last`` snapshots (retain_last; older-than defaults let
+        retain_last dominate for maintenance-job semantics)."""
+        catalog = self.identifier.split(".", 1)[0]
+        rows = self._sql(
+            f"CALL {catalog}.system.expire_snapshots("
+            f"table => '{self.identifier}', retain_last => {keep_last})"
+        ).collect()
+        r = rows[0] if rows else None
+        return {
+            "deleted_data_files_count": int(r["deleted_data_files_count"]) if r else 0,
+            "kept_snapshots": self.snapshots(),
+        }
+
     def load(
         self,
         spark: SparkSession,

@@ -137,6 +137,102 @@ class IceLite:
         ]
         return self._commit(kept + new_files, parent, "overwrite_partitions")
 
+    # ---- maintenance (r4 verdict task 8) --------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+    ) -> dict:
+        """Rewrite every partition holding >= ``min_files`` live files
+        into one file per partition (the IceLite twin of Iceberg's
+        ``rewrite_data_files``). Row-identical by construction — the
+        rewrite reads exactly the target partitions' live files and
+        recommits them through the dynamic-partition-overwrite path — and
+        the operational gap a 10^12-turn table hits first: every
+        streaming micro-batch / resume bucket commit adds small files,
+        and scan cost grows with file count (task-per-file scheduling +
+        footer reads) even when total bytes are flat.
+
+        One file per partition comes from hash-repartitioning on the
+        partition columns before the partitioned write: each partition's
+        rows land in exactly one task. Unpartitioned tables compact to a
+        single file. Returns counts; no-op commit is skipped entirely.
+
+        Caveat (same as Iceberg): an ``incremental()`` reader whose
+        ``since_snapshot`` predates the compaction will see the rewritten
+        files as new — compaction does not change rows, so idempotent
+        consumers (overwrite-by-partition, as this pipeline's are)
+        re-derive identical state."""
+        parent = self.current_snapshot()
+        if parent is None:
+            return {"compacted_partitions": 0, "files_before": 0, "files_after": 0}
+        live = self.manifest(parent)["files"]
+        by_part: dict[tuple, list[dict]] = {}
+        for f in live:
+            by_part.setdefault(tuple(sorted(f["partitions"].items())), []).append(f)
+        targets = {p: fs for p, fs in by_part.items() if len(fs) >= min_files}
+        if not targets:
+            return {
+                "compacted_partitions": 0,
+                "files_before": len(live),
+                "files_after": len(live),
+            }
+        target_files = [f for fs in targets.values() for f in fs]
+        df = self._read_files(spark, target_files)
+        part_cols = sorted({k for p in targets for k, _v in p})
+        if part_cols:
+            df = df.repartition(*[F.col(c) for c in part_cols])
+            snap = parent + 1
+            new_files = self._write_files(df, snap, part_cols)
+        else:
+            df = df.coalesce(1)
+            snap = parent + 1
+            new_files = self._write_files(df, snap, None)
+        kept = [
+            f
+            for f in live
+            if tuple(sorted(f["partitions"].items())) not in targets
+        ]
+        self._commit(kept + new_files, parent, "compact")
+        return {
+            "compacted_partitions": len(targets),
+            "files_before": len(live),
+            "files_after": len(kept) + len(new_files),
+        }
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop all but the newest ``keep_last`` snapshot manifests and
+        physically delete data files referenced by NO kept manifest (the
+        IceLite twin of Iceberg's ``expire_snapshots``) — without it the
+        table directory grows by one full overwritten copy per commit,
+        forever. Time travel / incremental reads older than the kept
+        window stop working, exactly as in Iceberg."""
+        snaps = self.snapshots()
+        expire = snaps[:-keep_last] if keep_last > 0 else snaps
+        keep = snaps[len(expire):]
+        referenced: set[str] = set()
+        for s in keep:
+            referenced.update(f["path"] for f in self.manifest(s)["files"])
+        removed_files = 0
+        if os.path.isdir(self.data_dir):
+            for root, _dirs, names in os.walk(self.data_dir, topdown=False):
+                for name in names:
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, self.data_dir)
+                    if rel not in referenced:
+                        os.remove(full)
+                        removed_files += 1
+                if not os.listdir(root):
+                    os.rmdir(root)
+        for s in expire:
+            os.remove(os.path.join(self.manifest_dir, f"snap-{s}.json"))
+        return {
+            "expired_snapshots": len(expire),
+            "removed_files": removed_files,
+            "kept_snapshots": keep,
+        }
+
     # ---- reads ----------------------------------------------------------
 
     def _read_files(self, spark: SparkSession, files: list[dict]) -> DataFrame | None:

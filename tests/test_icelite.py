@@ -79,3 +79,74 @@ class TestAtomicity:
             f.write("{}")
         assert table.snapshots() == [0]
         assert table.current_snapshot() == 0
+
+
+class TestMaintenance:
+    """r4 verdict task 8: small-file compaction + snapshot expiry."""
+
+    def test_compact_reduces_files_keeps_rows(self, spark, table):
+        # 6 appends x 1 row per partition -> many small files
+        for i in range(6):
+            table.append(df_of(spark, [(i, "a", i * 10), (i, "b", i * 10 + 1)]), ["part"])
+        before = table.manifest(table.current_snapshot())["files"]
+        rows_before = sorted(
+            tuple(r) for r in table.load(spark).select("k", "part", "v").collect()
+        )
+        assert len(before) >= 12
+        rep = table.compact(spark)
+        assert rep["compacted_partitions"] == 2
+        after = table.manifest(table.current_snapshot())["files"]
+        assert len(after) == 2  # one file per partition
+        assert table.manifest(table.current_snapshot())["operation"] == "compact"
+        rows_after = sorted(
+            tuple(r) for r in table.load(spark).select("k", "part", "v").collect()
+        )
+        assert rows_after == rows_before
+        assert table.total_rows() == len(rows_before)
+        # idempotent: second compact is a no-op commit-skip
+        rep2 = table.compact(spark)
+        assert rep2["compacted_partitions"] == 0
+
+    def test_compact_unpartitioned_table(self, spark, table):
+        for i in range(4):
+            table.append(df_of(spark, [(i, "a", i)]))
+        rows_before = sorted(tuple(r) for r in table.load(spark).collect())
+        rep = table.compact(spark)
+        assert rep["files_after"] == 1
+        assert sorted(tuple(r) for r in table.load(spark).collect()) == rows_before
+
+    def test_expire_snapshots_removes_dead_files(self, spark, table):
+        import pathlib
+
+        # overwrite the same partition 5 times: 4 dead file generations
+        for i in range(5):
+            table.overwrite_partitions(df_of(spark, [(i, "a", i)]), ["part"])
+        all_parquet = lambda: [
+            p for p in pathlib.Path(table.data_dir).rglob("*.parquet")
+        ]
+        n_before = len(all_parquet())
+        assert n_before >= 5
+        rows_before = sorted(tuple(r) for r in table.load(spark).collect())
+        rep = table.expire_snapshots(keep_last=2)
+        assert rep["expired_snapshots"] == 3
+        assert table.snapshots() == [3, 4]
+        assert len(all_parquet()) < n_before
+        # current snapshot still reads, rows identical
+        assert sorted(tuple(r) for r in table.load(spark).collect()) == rows_before
+        # every kept manifest's files still exist on disk
+        for s in table.snapshots():
+            for f in table.manifest(s)["files"]:
+                assert os.path.exists(os.path.join(table.data_dir, f["path"]))
+
+    def test_maintenance_after_resume_style_commits(self, spark, table):
+        """compact + expire on a table shaped like the pipeline's
+        per-bucket resume commits (many overwrite_partitions snapshots),
+        then verify load() equality — the jobs/compact.py contract."""
+        for b in range(4):
+            table.overwrite_partitions(
+                df_of(spark, [(b, str(b % 2), b * 7)]), ["part"]
+            )
+        rows = sorted(tuple(r) for r in table.load(spark).collect())
+        table.compact(spark)
+        table.expire_snapshots(keep_last=2)
+        assert sorted(tuple(r) for r in table.load(spark).collect()) == rows

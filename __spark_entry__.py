@@ -721,23 +721,50 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 
 # ---- K: scalar function families ----------------------------------------
 
-def q_k_string_funcs(spark, sf_dir):
+def q_k_string_math_funcs(spark, sf_dir):
+    """K string + math families MERGED into one row (r5: frees a
+    50-slot dict entry for tr_pair_features — the driver records only
+    the first 50 queries): string functions (levenshtein/length/upper/
+    substring) and math functions (pmod/greatest/least/ln/exp/round)
+    witnessed over one customer scan."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return (
         c.select(
             F.col("c_mktsegment").alias("segment"),
             F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).alias("lev"),
             F.length("c_name").alias("name_len"),
+            F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+            F.pmod(F.col("c_custkey"), F.lit(7)).alias("m7"),
+            F.greatest(F.col("c_custkey") % 100, F.col("c_nationkey") * 2).alias("g"),
+            F.least(F.col("c_custkey") % 100, F.col("c_nationkey") * 2).alias("l"),
+            F.round(F.log(F.col("c_custkey") + 2), 6).alias("ln_k"),
+            F.round(F.exp(F.col("c_nationkey") / 10.0), 6).alias("exp_n"),
         )
-        .groupBy("segment", "lev")
-        .agg(F.count("*").alias("n"), F.max("name_len").alias("max_name_len"))
+        .groupBy("segment", "lev", "m7")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("name_len").alias("max_name_len"),
+            F.min("name_prefix").alias("min_prefix"),
+            F.max("g").alias("max_g"),
+            F.min("l").alias("min_l"),
+            F.round(F.sum("ln_k"), 4).alias("sum_ln"),
+            F.round(F.max("exp_n"), 6).alias("max_exp"),
+        )
     )
 
 
-SQL_K_STRING = """
-SELECT c_mktsegment AS segment, levenshtein(c_mktsegment, 'BUILDING') AS lev,
-       count(*) AS n, max(length(c_name)) AS max_name_len
-FROM customer GROUP BY c_mktsegment
+SQL_K_STRING_MATH = """
+SELECT c_mktsegment AS segment,
+       levenshtein(c_mktsegment, 'BUILDING') AS lev,
+       c_custkey % 7 AS m7,
+       count(*) AS n,
+       max(length(c_name)) AS max_name_len,
+       min(upper(substring(c_name, 1, 8))) AS min_prefix,
+       max(greatest(c_custkey % 100, c_nationkey * 2)) AS max_g,
+       min(least(c_custkey % 100, c_nationkey * 2)) AS min_l,
+       round(sum(round(ln(c_custkey + 2), 6)), 4) AS sum_ln,
+       round(max(round(exp(c_nationkey / 10.0), 6)), 6) AS max_exp
+FROM customer GROUP BY 1, 2, 3
 """
 
 
@@ -823,29 +850,6 @@ SELECT vec_id, len(embedding) AS dim,
 FROM (SELECT vec_id, embedding,
              list_transform(embedding[1:4], x -> x::DOUBLE) AS e4
       FROM embeddings)
-"""
-
-
-def q_k_math_funcs(spark, sf_dir):
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    return n.select(
-        "n_nationkey",
-        F.pmod(F.col("n_nationkey"), F.lit(7)).alias("m7"),
-        F.greatest(F.col("n_nationkey"), F.col("n_regionkey") * 2).alias("g"),
-        F.least(F.col("n_nationkey"), F.col("n_regionkey") * 2).alias("l"),
-        F.round(F.log(F.col("n_nationkey") + 2), 6).alias("ln_k"),
-        F.round(F.exp(F.col("n_regionkey") / 10.0), 6).alias("exp_r"),
-    )
-
-
-SQL_K_MATH = """
-SELECT n_nationkey,
-       n_nationkey % 7 AS m7,
-       greatest(n_nationkey, n_regionkey * 2) AS g,
-       least(n_nationkey, n_regionkey * 2) AS l,
-       round(ln(n_nationkey + 2), 6) AS ln_k,
-       round(exp(n_regionkey / 10.0), 6) AS exp_r
-FROM nation
 """
 
 
@@ -1890,6 +1894,124 @@ def _extract_mentions_df(spark, sf_dir, refine: bool = False):
     )
 
 
+def _present_pool_ids(sf_dir: str) -> list[int]:
+    """Pool indices present in this sf's events table (pool_idx =
+    event_id % 512 — the synth_transcripts text rule)."""
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return sorted({int(e) % 512 for e in ev["event_id"].to_pylist()})
+
+
+def _pool_gold_rows(present: list[int]) -> list[dict]:
+    """Pseudo-gold (tokens, ent_spans, relations) for the present pool
+    sentences, derived from the memoized model extraction — the
+    deterministic training-frame input the tr_pair_features demo and its
+    oracle share."""
+    pool = _template_pool()
+    results = _pool_extract()
+    rows = []
+    for idx in present:
+        mentions, rels = results[idx]
+        rows.append(
+            {
+                "sent_id": idx,
+                "tokens": pool[idx].split(),
+                "ent_spans": [
+                    {"begin": m.begin, "end": m.end, "ent_type": m.ent_type}
+                    for m in mentions
+                ],
+                "relations": [
+                    {"subj": r.subj, "obj": r.obj, "pred": r.pred}
+                    for r in rels
+                ],
+            }
+        )
+    return rows
+
+
+def q_tr_pair_features(spark, sf_dir):
+    """TRAINING surface under the driver oracle (r4 verdict task 7): the
+    distributed frozen-encoder pair-feature extraction that feeds
+    train.fit_relation_decoder — keyed (sent_id, subj, obj, label) rows
+    with deterministic float fingerprints of the 192-dim feature vector
+    (train.pair_feature_frame). Input = pseudo-gold over this sf's
+    present pool sentences; the DuckDB twin replays the identical encode
+    + pair generation driver-side and embeds the expected rows as a
+    VALUES table. What the row witnesses: the distributed training
+    featurization (Arrow batching, token-budget chunking, admissibility
+    rule, feature math) equals the in-process model bit-for-bit."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    _ensure_fixtures()
+    from antnre_spark import extract, train
+
+    weights_bc, vocab_bc, model_key = extract.broadcast_model(
+        spark,
+        os.path.join(FIXDIR, "weights.npz"),
+        os.path.join(FIXDIR, "vocab.json"),
+    )
+    rows = _pool_gold_rows(_present_pool_ids(sf_dir))
+    gold = spark.createDataFrame(
+        rows,
+        "sent_id int, tokens array<string>, "
+        "ent_spans array<struct<begin:int, end:int, ent_type:string>>, "
+        "relations array<struct<subj:int, obj:int, pred:string>>",
+    ).repartition(8)
+    return train.pair_feature_frame(gold, weights_bc, vocab_bc, model_key)
+
+
+def _tr_pair_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of q_tr_pair_features: same pseudo-gold, same encode
+    (the shared nnmodel forward, batch-invariant), same admissibility
+    loop, same fingerprint rounding — emitted as a VALUES literal."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import numpy as np
+
+    from antnre_spark.encoder_grad import _rel_pairs_for_sentence
+    from antnre_spark.nnmodel import REL_TYPES, AntNREModel
+
+    sf = sf_dir or _oracle_sf_dir()
+    _ensure_fixtures()
+    rows = _pool_gold_rows(_present_pool_ids(sf))
+    model = AntNREModel.from_files(
+        os.path.join(FIXDIR, "weights.npz"), os.path.join(FIXDIR, "vocab.json")
+    )
+    encoded = model.encode([r["tokens"] for r in rows])
+    values = []
+    for (hidden, _emis), r in zip(encoded, rows):
+        span_list = [
+            (s["begin"], s["end"], s["ent_type"]) for s in r["ent_spans"]
+        ]
+        gold_rels = {
+            (x["subj"], x["obj"]): REL_TYPES.index(x["pred"])
+            for x in r["relations"]
+        }
+        span_vecs = {
+            i: hidden[b:e].mean(axis=0) for i, (b, e, _t) in enumerate(span_list)
+        }
+        zeros = np.zeros(hidden.shape[1], dtype=hidden.dtype)
+        for i, j, lo, hi, label in _rel_pairs_for_sentence(span_list, gold_rels):
+            between = hidden[lo:hi].mean(axis=0) if hi > lo else zeros
+            feat = np.concatenate([span_vecs[i], span_vecs[j], between])
+            fs = round(float(np.asarray(feat, dtype=np.float64).sum()), 6)
+            fh = round(float(feat[0]), 6)
+            values.append(
+                f"({r['sent_id']}, {i}, {j}, {label}, "
+                f"'{fs!r}'::DOUBLE, '{fh!r}'::DOUBLE)"
+            )
+    if not values:
+        return "SELECT 0 AS sent_id, 0 AS subj, 0 AS obj, 0 AS label, 0.0 AS feat_sum, 0.0 AS feat_head WHERE FALSE"
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(values)
+        + "\n) AS t(sent_id, subj, obj, label, feat_sum, feat_head)"
+    )
+
+
 def q_kg_extract_mentions(spark, sf_dir):
     return _extract_mentions_df(spark, sf_dir, refine=False)
 
@@ -2101,11 +2223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i_broadcast_join": q_i_broadcast_join,
         "i_asof_join": q_i_asof_join,
         "h_rollup": q_h_rollup,
-        "k_string_funcs": q_k_string_funcs,
+        "k_string_math_funcs": q_k_string_math_funcs,
         "k_datetime": q_k_datetime,
         "k_json_map": q_k_json_map,
         "k_array_funcs": q_k_array_funcs,
-        "k_math_funcs": q_k_math_funcs,
+        "tr_pair_features": q_tr_pair_features,
         "d1_sentence_count": q_d1_sentence_count,
         "t_langid": q_t_langid,
         "t_quality": q_t_quality,
@@ -2168,6 +2290,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         ("ss_bucketed_topk", _ss_bucketed_sql),
         ("ss_ivf_topk", _ss_ivf_sql),
         ("ss_ivf_topk_batch", _ss_ivf_batch_sql),
+        ("tr_pair_features", _tr_pair_sql),
     ):
         try:
             data_dependent[name] = builder()
@@ -2205,11 +2328,10 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "i_broadcast_join": SQL_I_BROADCAST,
         "i_asof_join": SQL_I_ASOF,
         "h_rollup": SQL_H_ROLLUP,
-        "k_string_funcs": SQL_K_STRING,
+        "k_string_math_funcs": SQL_K_STRING_MATH,
         "k_datetime": SQL_K_DATETIME,
         "k_json_map": SQL_K_JSON_MAP,
         "k_array_funcs": SQL_K_ARRAY,
-        "k_math_funcs": SQL_K_MATH,
         "d1_sentence_count": SQL_D1,
         "t_langid": _langid_sql(),
         "t_quality": _quality_sql(),

@@ -276,6 +276,84 @@ def fit_relation_decoder(
     )
 
 
+PAIR_FEATURE_SCHEMA = (
+    "sent_id int, subj int, obj int, label int, "
+    "feat_sum double, feat_head double"
+)
+
+
+def pair_feature_frame(
+    gold: DataFrame, weights_bc, vocab_bc, model_key: str = "default",
+    id_col: str = "sent_id",
+) -> DataFrame:
+    """KEYED, fingerprinted view of the training pair features — the
+    driver-oracle demo surface for the training path (r4 verdict task 7).
+
+    Same frozen-encoder feature recipe as pair_training_frame (span
+    means ⊕ between mean over model.encode hidden states, the
+    MAX_PAIR_DISTANCE admissibility rule via
+    encoder_grad._rel_pairs_for_sentence), but each row carries its
+    (sent_id, subj, obj) key plus two deterministic float fingerprints
+    (feat_sum = round(Σ feat, 6), feat_head = round(feat[0], 6)) instead
+    of the raw 192-dim vector — small enough for a VALUES-literal DuckDB
+    oracle, strong enough that any divergence in encoding, batching, or
+    pair generation flips the hash. Batch-composition invariance of
+    encode() (pytest property) is what makes the distributed result equal
+    the oracle's full-pool replay."""
+    import numpy as np
+
+    from antnre_spark.encoder_grad import _rel_pairs_for_sentence
+    from antnre_spark.extract import TOKEN_BUDGET, _budget_bounds, _model_for
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _model_for(weights_bc, vocab_bc, model_key)
+        for pdf in batches:
+            toks_all = [list(t) for t in pdf["tokens"]]
+            encoded: list = []
+            for lo, hi in _budget_bounds([len(t) for t in toks_all], TOKEN_BUDGET):
+                encoded.extend(model.encode(toks_all[lo:hi]))
+            out: list[dict] = []
+            for (hidden, _emis), sid, spans, rels in zip(
+                encoded, pdf[id_col], pdf["ent_spans"], pdf["relations"]
+            ):
+                span_list = [
+                    (int(s["begin"]), int(s["end"]), str(s["ent_type"]))
+                    for s in spans
+                ]
+                gold_rels = {
+                    (int(r["subj"]), int(r["obj"])): REL_TYPES.index(str(r["pred"]))
+                    for r in rels
+                }
+                span_vecs = {
+                    i: hidden[b:e].mean(axis=0)
+                    for i, (b, e, _t) in enumerate(span_list)
+                }
+                zeros = np.zeros(hidden.shape[1], dtype=hidden.dtype)
+                for i, j, lo, hi, label in _rel_pairs_for_sentence(
+                    span_list, gold_rels
+                ):
+                    between = hidden[lo:hi].mean(axis=0) if hi > lo else zeros
+                    feat = np.concatenate([span_vecs[i], span_vecs[j], between])
+                    out.append(
+                        {
+                            "sent_id": int(sid),
+                            "subj": i,
+                            "obj": j,
+                            "label": label,
+                            "feat_sum": round(
+                                float(np.asarray(feat, dtype=np.float64).sum()), 6
+                            ),
+                            "feat_head": round(float(feat[0]), 6),
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return gold.select(id_col, "tokens", "ent_spans", "relations").mapInPandas(
+        run, PAIR_FEATURE_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # round 5: mention-detector (CRF NLL + full encoder backprop) and JOINT
 # training — the reference's core capability (its model trains; see

@@ -119,6 +119,7 @@ def extract_sentences(
     model_key: str = "default",
     repartition_to: int | None = None,
     refine_types: bool = False,
+    conf_mode: str = "local",
 ) -> DataFrame:
     """sentences(conv_id, turn_idx, sent_idx, tokens, ...) -> EXTRACTED.
 
@@ -147,7 +148,9 @@ def extract_sentences(
                 continue
             for chunk in _token_chunks(pdf, token_budget):
                 toks = [list(t) for t in chunk["tokens"]]
-                results = model.extract(toks, refine_types=refine_types)
+                results = model.extract(
+                    toks, refine_types=refine_types, conf_mode=conf_mode
+                )
                 yield _results_frame(chunk, toks, results)
 
     return sentences.mapInPandas(run, EXTRACTED)
@@ -161,6 +164,7 @@ def extract_turns(
     model_key: str = "default",
     repartition_to: int | None = None,
     refine_types: bool = False,
+    conf_mode: str = "local",
 ) -> DataFrame:
     """Fused D1+D2+E+F (r3 verdict task 1): sentence segmentation +
     tokenization run INSIDE the model's mapInPandas instead of as a
@@ -222,7 +226,9 @@ def extract_turns(
                 toks = toks_all[lo:hi]
                 if not toks:
                     continue
-                results = model.extract(toks, refine_types=refine_types)
+                results = model.extract(
+                    toks, refine_types=refine_types, conf_mode=conf_mode
+                )
                 out_m, out_r = _result_lists(results, toks)
                 yield pd.DataFrame(
                     {
@@ -245,6 +251,7 @@ def extract_sentences_arrow(
     model_key: str = "default",
     repartition_to: int | None = None,
     refine_types: bool = False,
+    conf_mode: str = "local",
 ) -> DataFrame:
     """mapInArrow variant of extract_sentences (SURVEY.md §2.L): consumes
     pyarrow RecordBatches directly, skipping the pandas materialization on
@@ -273,7 +280,9 @@ def extract_sentences_arrow(
             bounds = _budget_bounds([len(t) for t in toks_all], token_budget)
             for lo, hi in bounds:
                 toks = toks_all[lo:hi]
-                results = model.extract(toks, refine_types=refine_types)
+                results = model.extract(
+                    toks, refine_types=refine_types, conf_mode=conf_mode
+                )
                 out_m, out_r = _result_lists(results, toks)
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -296,6 +305,7 @@ def extract_conversations(
     token_budget: int = TOKEN_BUDGET,
     model_key: str = "default",
     refine_types: bool = False,
+    conf_mode: str = "local",
 ) -> DataFrame:
     """Grouped-map variant (SURVEY.md §2.L): one model batch per
     conversation via groupBy(conv_id).applyInPandas.
@@ -313,7 +323,9 @@ def extract_conversations(
         out = []
         for chunk in _token_chunks(pdf, token_budget):
             toks = [list(t) for t in chunk["tokens"]]
-            results = model.extract(toks, refine_types=refine_types)
+            results = model.extract(
+                    toks, refine_types=refine_types, conf_mode=conf_mode
+                )
             out.append(_results_frame(chunk, toks, results))
         return (
             pd.concat(out, ignore_index=True)

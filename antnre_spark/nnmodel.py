@@ -276,6 +276,36 @@ class AntNREModel:
             tags[:, t - 1] = back[rows, t, tags[:, t]]
         return tags
 
+    def tag_marginals(self, emissions: np.ndarray) -> np.ndarray:
+        """Posterior unary marginals P(tag_t = k | sentence) of the
+        CONSTRAINED CRF (same transition matrix + BIO constraints Viterbi
+        decodes with), via the forward-backward algorithm in log space.
+        Rows sum to 1. This is the exact quantity E5's decoded-path
+        softmax heuristic approximates; with it, mention confidence
+        becomes a true probability under the sequence model (r5 —
+        enabled by the same machinery the CRF training NLL uses,
+        encoder_grad.crf_nll_grad)."""
+        T = emissions.shape[0]
+        if T == 0:
+            return np.zeros((0, N_TAGS), dtype=np.float64)
+        em = emissions.astype(np.float64)
+        trans = self.w["crf_transitions"].astype(np.float64) + CRF_CONSTRAINTS
+        alpha = np.zeros((T, N_TAGS), dtype=np.float64)
+        alpha[0] = em[0] + START_CONSTRAINTS
+        for t in range(1, T):
+            prev = alpha[t - 1][:, None] + trans
+            m = prev.max(axis=0)
+            alpha[t] = m + np.log(np.exp(prev - m).sum(axis=0)) + em[t]
+        beta = np.zeros((T, N_TAGS), dtype=np.float64)
+        for t in range(T - 2, -1, -1):
+            nxt = trans + em[t + 1][None, :] + beta[t + 1][None, :]
+            m = nxt.max(axis=1)
+            beta[t] = m + np.log(np.exp(nxt - m[:, None]).sum(axis=1))
+        logp = alpha + beta
+        logp -= logp.max(axis=1, keepdims=True)
+        p = np.exp(logp)
+        return p / p.sum(axis=1, keepdims=True)
+
     @staticmethod
     def spans_from_tags(tag_ids: np.ndarray) -> list[tuple[int, int, str]]:
         """BIO tag sequence -> (begin, end, type) spans, first-by-position.
@@ -302,10 +332,22 @@ class AntNREModel:
         hidden: np.ndarray,
         emissions: np.ndarray,
         tag_ids: np.ndarray | None = None,
+        conf_mode: str = "local",
     ) -> list[Mention]:
+        """``conf_mode``: 'local' (default — per-position emission
+        softmax averaged over the decoded span; the golden-output/parity
+        definition, frozen) or 'marginal' (r5 — mean CRF posterior
+        marginal of the decoded tags over the span, tag_marginals: a
+        true sequence-model probability that accounts for transition
+        structure, e.g. an I-tag stranded after a weak B gets marked
+        down even when its emission is confident). Decoded spans are
+        IDENTICAL between modes; only conf differs."""
         if tag_ids is None:
             tag_ids = self.viterbi(emissions)
-        probs = _softmax(emissions, axis=1)
+        if conf_mode == "marginal":
+            probs = self.tag_marginals(emissions)
+        else:
+            probs = _softmax(emissions, axis=1)
         mentions = []
         for b, e, t in self.spans_from_tags(tag_ids):
             conf = float(np.round(probs[np.arange(b, e), tag_ids[b:e]].mean(), 6))
@@ -448,11 +490,16 @@ class AntNREModel:
     # ---- fused entry ----------------------------------------------------
 
     def extract(
-        self, tokens_batch: list[list[str]], refine_types: bool = False
+        self,
+        tokens_batch: list[list[str]],
+        refine_types: bool = False,
+        conf_mode: str = "local",
     ) -> list[tuple[list[Mention], list[Relation]]]:
         """One forward pass per sentence -> (mentions, relations). This is
         the unit the Spark mapInPandas stage and the oracle both call.
-        ``refine_types`` switches on the F4 GCN joint refinement pass."""
+        ``refine_types`` switches on the F4 GCN joint refinement pass;
+        ``conf_mode='marginal'`` switches mention confidence to the CRF
+        posterior marginal (see extract_mentions)."""
         encoded = self.encode(tokens_batch)
         # batched Viterbi per exact-length group: one T-loop per length
         # instead of one per sentence (same recurrence, see viterbi_many)
@@ -473,7 +520,9 @@ class AntNREModel:
         for i, (toks, (hidden, emissions)) in enumerate(
             zip(tokens_batch, encoded)
         ):
-            mentions = self.extract_mentions(hidden, emissions, tags_all[i])
+            mentions = self.extract_mentions(
+                hidden, emissions, tags_all[i], conf_mode=conf_mode
+            )
             rels = self.classify_relations(hidden, self._token_ids(toks), mentions)
             if refine_types:
                 mentions, rels = self.refine_mention_types(hidden, mentions, rels)

@@ -211,6 +211,32 @@ def main() -> None:
 
         return minhash_dup_candidates(entrymod._doc(spark_, sf_dir_))
 
+    def t_trigram_map_forced(spark_, sf_dir_):
+        """Trigram LM scoring, map-literal path, FORCED via a 1-row agg:
+        the t_quality row forces with count(), which prunes the scored
+        column — Catalyst never computes trigram_logp there, so that row
+        times the scan, not the scoring (r5 finding). This row and its
+        join twin time the real thing."""
+        from pyspark.sql import functions as F
+
+        from antnre_spark.textops import with_trigram_logprob
+
+        return with_trigram_logprob(entrymod._doc(spark_, sf_dir_)).agg(
+            F.round(F.sum("trigram_logp"), 2).alias("s")
+        )
+
+    def t_trigram_join_forced(spark_, sf_dir_):
+        """Broadcast-join trigram path (the r5 curation-job path),
+        forced the same way — value-identical to the map path, O(1)
+        lookup per gram at any table size."""
+        from pyspark.sql import functions as F
+
+        from antnre_spark.textops import with_trigram_logprob_join
+
+        return with_trigram_logprob_join(entrymod._doc(spark_, sf_dir_)).agg(
+            F.round(F.sum("trigram_logp"), 2).alias("s")
+        )
+
     q = entrymod.queries()
     headline = {
         "kg_pipeline": kg_pipeline_read,
@@ -230,6 +256,11 @@ def main() -> None:
         "ss_topk_cosine": entrymod.q_ss_topk_cosine,
         "ss_ivf_topk_batch": q["ss_ivf_topk_batch"],
         "t_quality": q["t_quality"],
+        # r5: forced-evaluation trigram rows (count() on the t_quality
+        # row prunes the scored column — these two time the real cost,
+        # map literal vs the curation job's broadcast-join path)
+        "t_trigram_map_forced": t_trigram_map_forced,
+        "t_trigram_join_forced": t_trigram_join_forced,
     }
     # the control stage is opt-in by name (scaling campaigns), not part of
     # the driver's default headline set

@@ -209,3 +209,69 @@ class TestBatchedViterbi:
             batched = model.viterbi_many(emis)
             for b in range(16):
                 assert (batched[b] == model.viterbi(emis[b])).all()
+
+
+class TestMarginalConfidence:
+    """r5 E5 upgrade: CRF posterior-marginal confidence (tag_marginals)
+    — the exact quantity the decoded-path softmax approximates."""
+
+    def test_marginals_are_distributions(self, model):
+        emis = np.random.default_rng(3).standard_normal((7, 9)).astype(np.float32)
+        g = model.tag_marginals(emis)
+        assert g.shape == (7, 9)
+        np.testing.assert_allclose(g.sum(axis=1), 1.0, atol=1e-9)
+        assert (g >= 0).all()
+
+    def test_marginals_match_bruteforce_enumeration(self, model):
+        """Forward-backward marginals equal the brute-force sum over all
+        constrained tag sequences on a short sentence."""
+        import itertools
+
+        from antnre_spark.nnmodel import (
+            CRF_CONSTRAINTS,
+            N_TAGS,
+            START_CONSTRAINTS,
+        )
+
+        rng = np.random.default_rng(11)
+        T = 3
+        emis = rng.standard_normal((T, N_TAGS))
+        trans = model.w["crf_transitions"].astype(np.float64) + CRF_CONSTRAINTS
+        scores = {}
+        for seq in itertools.product(range(N_TAGS), repeat=T):
+            s = START_CONSTRAINTS[seq[0]] + emis[0, seq[0]]
+            for t in range(1, T):
+                s += trans[seq[t - 1], seq[t]] + emis[t, seq[t]]
+            scores[seq] = s
+        m = max(scores.values())
+        Z = sum(np.exp(s - m) for s in scores.values())
+        want = np.zeros((T, N_TAGS))
+        for seq, s in scores.items():
+            p = np.exp(s - m) / Z
+            for t, k in enumerate(seq):
+                want[t, k] += p
+        got = model.tag_marginals(emis)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_marginal_mode_same_spans_true_probability(self, model):
+        toks = ["alice", "liddell", "works", "for", "acme", "corp", "."]
+        [(h, e)] = model.encode([toks])
+        local = model.extract_mentions(h, e, conf_mode="local")
+        marg = model.extract_mentions(h, e, conf_mode="marginal")
+        assert [(m.begin, m.end, m.ent_type) for m in local] == [
+            (m.begin, m.end, m.ent_type) for m in marg
+        ]
+        assert len(marg) >= 1
+        for m in marg:
+            assert 0.0 <= m.conf <= 1.0
+            # fixture margins are engineered >= 5.0 — the posterior of
+            # the decoded tags should be essentially certain
+            assert m.conf > 0.95
+
+    def test_extract_threads_conf_mode(self, model):
+        toks = [["alice", "liddell", "works", "for", "acme", "corp", "."]]
+        (m_loc, _r1), = model.extract(toks)
+        (m_marg, _r2), = model.extract(toks, conf_mode="marginal")
+        assert [(m.begin, m.end) for m in m_loc] == [
+            (m.begin, m.end) for m in m_marg
+        ]

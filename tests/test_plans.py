@@ -50,6 +50,32 @@ class TestResolvePlan:
         assert "SortMergeJoin" not in plan
 
 
+class TestStreamMergePlan:
+    def test_partials_merge_broadcasts_surface_map(self, spark):
+        """The streaming incremental materializer's merge joins the
+        surface map against the partials table with explicit broadcasts
+        (two BroadcastHashJoins, zero SortMergeJoins): the partials side
+        is the big one at corpus scale and must never shuffle on the
+        map's account — the same contract as batch build_triples."""
+        from antnre_spark import materialize
+
+        partials = spark.createDataFrame(
+            [("Peop", "alice", "Work_For", "Org", "acme", 0.9, 3,
+              [("c0", 0, 0)])],
+            "subj_ent_type string, subj_norm string, pred string, "
+            "obj_ent_type string, obj_norm string, conf double, "
+            "n_evidence long, "
+            "provenance array<struct<conv_id:string,turn_idx:int,sent_idx:int>>",
+        )
+        sm = spark.createDataFrame(
+            [("Peop", "alice", "Peop:alice"), ("Org", "acme", "Org:acme")],
+            "ent_type string, norm string, entity_id string",
+        )
+        plan = plan_of(materialize.merge_triple_partials(partials, sm))
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in plan
+
+
 class TestScanPruning:
     def test_filter_and_projection_reach_parquet_scan(self, spark):
         """Predicate pushdown + column pruning on the documents scan: the

@@ -230,19 +230,34 @@ def _doc_band_udf(norm_texts: pd.Series) -> pd.Series:
     return pd.Series([hashing.band_keys(sig) for sig in sigs])
 
 
+def minhash_signed_bands(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, band) rows — one per LSH band membership. Split out (r5) so
+    callers that need BOTH the pre-flight stats and the candidate join
+    (jobs/curate_corpus.py) run the per-document MinHash UDF once:
+    persist this frame and pass it to minhash_bucket_stats /
+    minhash_dup_candidates via ``signed=``."""
+    df = _ensure_parallelism(df)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_doc_band_udf(normalize_text(F.col(text_col)))).alias("band"),
+    )
+
+
 def minhash_dup_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 64,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band. Bucket-capped
-    self-join exactly like entity linking (SURVEY.md §2.G G3-G4)."""
-    df = _ensure_parallelism(df)
-    signed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_doc_band_udf(normalize_text(F.col(text_col)))).alias("band"),
-    )
+    self-join exactly like entity linking (SURVEY.md §2.G G3-G4).
+    ``signed`` (optional): a precomputed minhash_signed_bands frame —
+    pass a persisted one to share the signature UDF with the pre-flight."""
+    if signed is None:
+        signed = minhash_signed_bands(df, id_col, text_col)
     sizes = signed.groupBy("band").agg(F.count("*").alias("n"))
     bounded = signed.join(sizes.filter(F.col("n") <= max_bucket), "band").drop("n")
     a = bounded.select(F.col("id").alias("id_a"), "band")
@@ -260,6 +275,7 @@ def minhash_bucket_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 64,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """Pre-flight sizing check for minhash_dup_candidates — the mirror of
     cosine_bucket_stats for the MinHash/LSH band caps (r4 verdict task 4:
@@ -271,12 +287,13 @@ def minhash_bucket_stats(
     banding. A membership dropped from one oversized band does not remove
     the document from the others, so dropped_frac ~ the upper bound on
     lost candidate-recall mass, not lost documents. If it is not ~0,
-    raise max_bucket or re-band before running the join."""
-    df = _ensure_parallelism(df)
-    signed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_doc_band_udf(normalize_text(F.col(text_col)))).alias("band"),
-    )
+    raise max_bucket or re-band before running the join.
+
+    ``signed``: a precomputed (persisted) minhash_signed_bands frame —
+    lets a caller running BOTH the pre-flight and the candidate join pay
+    for the signature UDF once (r5 self-review finding)."""
+    if signed is None:
+        signed = minhash_signed_bands(df, id_col, text_col)
     sizes = signed.groupBy("band").agg(F.count("*").alias("n"))
     dropped = F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0))
     return sizes.agg(

@@ -182,12 +182,22 @@ class IcebergTable:
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg's ``expire_snapshots`` procedure, retaining the newest
-        ``keep_last`` snapshots (retain_last; older-than defaults let
-        retain_last dominate for maintenance-job semantics)."""
+        ``keep_last`` snapshots. ``older_than`` is passed explicitly as
+        NOW: Iceberg's default is now()-5days, under which a daily
+        maintenance job would expire NOTHING for five days (every
+        snapshot too young) while the IceLite twin trims immediately —
+        pinning older_than to the present makes retain_last the only
+        retention rule, matching IceLite.expire_snapshots semantics
+        (r5 self-review finding)."""
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
         catalog = self.identifier.split(".", 1)[0]
         rows = self._sql(
             f"CALL {catalog}.system.expire_snapshots("
-            f"table => '{self.identifier}', retain_last => {keep_last})"
+            f"table => '{self.identifier}', "
+            f"older_than => TIMESTAMP '{now}', "
+            f"retain_last => {keep_last})"
         ).collect()
         r = rows[0] if rows else None
         return {
@@ -250,16 +260,18 @@ class IcebergTable:
             return 0
         if snapshot is None:
             # snapshots produced by delete/replace/maintenance commits can
-            # lack the 'total-records' summary key (n is then NULL): walk
-            # backwards to the latest snapshot that carries it instead of
-            # crashing with TypeError on int(None) (r4 ADVICE).
-            for r in reversed(rows):
-                if r["n"] is not None:
-                    return int(r["n"])
-            raise ValueError(
-                f"no snapshot of {self.identifier} carries a "
-                "'total-records' summary; compute the count with a scan "
-                f"(spark.table('{self.identifier}').count())"
+            # lack the 'total-records' summary key (n is then NULL). An
+            # older snapshot's summary would be a STALE count (the very
+            # commit missing the key may have changed row counts), so when
+            # the LATEST snapshot lacks it, pay for a real count instead —
+            # Iceberg serves count(*) from manifests, no data-file scan
+            # (r4 ADVICE + r5 self-review staleness finding).
+            if rows[-1]["n"] is not None:
+                return int(rows[-1]["n"])
+            return int(
+                self._sql(
+                    f"SELECT count(*) AS n FROM {self.identifier}"
+                ).collect()[0]["n"]
             )
         for r in rows:
             if int(r["snapshot_id"]) == snapshot:

@@ -346,8 +346,13 @@ class AntNREModel:
             tag_ids = self.viterbi(emissions)
         if conf_mode == "marginal":
             probs = self.tag_marginals(emissions)
-        else:
+        elif conf_mode == "local":
             probs = _softmax(emissions, axis=1)
+        else:  # reject typos loudly — a silent fallthrough to 'local'
+            # would run a whole distributed job on the wrong quantity
+            raise ValueError(
+                f"unknown conf_mode {conf_mode!r}; use 'local' or 'marginal'"
+            )
         mentions = []
         for b, e, t in self.spans_from_tags(tag_ids):
             conf = float(np.round(probs[np.arange(b, e), tag_ids[b:e]].mean(), 6))

@@ -293,17 +293,26 @@ def process_kg_batch(
         extracted.unpersist()
 
     spark = batch_df.sparkSession
-    per_raw = tables["surface_counts"].load(spark).drop("batch_id")
-    surfaces = link.merge_surface_counts(per_raw)
+    # load() returns None for an all-empty table (a partitioned write of
+    # zero rows emits no data files): a stream whose batches have yielded
+    # no mentions yet simply has nothing to link — skip the merge phase
+    # instead of crashing the query (r5 self-review finding)
+    per_raw_t = tables["surface_counts"].load(spark)
+    if per_raw_t is None:
+        return
+    surfaces = link.merge_surface_counts(per_raw_t.drop("batch_id"))
     surface_map, entities = link.link_surfaces(
         surfaces, **({"tau": tau} if tau is not None else {})
     )
     try:
-        partials = tables["triple_partials"].load(spark).drop("batch_id")
-        triples = materialize.merge_triple_partials(partials, surface_map)
-        tables["triples"].overwrite_partitions(
-            triples.withColumn("part", F.lit(0)), ["part"]
-        )
+        partials_t = tables["triple_partials"].load(spark)
+        if partials_t is not None:
+            triples = materialize.merge_triple_partials(
+                partials_t.drop("batch_id"), surface_map
+            )
+            tables["triples"].overwrite_partitions(
+                triples.withColumn("part", F.lit(0)), ["part"]
+            )
         tables["entities"].overwrite_partitions(
             entities.withColumn("part", F.lit(0)), ["part"]
         )

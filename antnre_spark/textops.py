@@ -404,9 +404,14 @@ def with_trigram_logprob_join(
 
     Determinism: per-gram values are summed as exact integer micro-logps
     (x 1e6, same trick as language_id_ngram), so the sum is
-    order-independent — no float reassociation across partitions. Equals
-    the map path's round(4) output on every fixture/testdata document
-    (asserted in tests/test_dataops.py)."""
+    order-independent — no float reassociation across partitions. The
+    table values are ALREADY 6-decimal-rounded (trigram_table), so the
+    integer quantization is exact; the only divergence vs the map path
+    is the map path's per-term float64 representation error (~n·2^-52
+    before the final round(4) — it would take a mean sitting within
+    ~1e-13 of a 0.00005 boundary to flip a rounded digit, the same class
+    of hazard as any float sum). Equal on every fixture/testdata
+    document (asserted in tests/test_dataops.py)."""
     table = trigram_table()
     oov_micro = int(round(trigram_oov_logp() * 1e6))
     spark = df.sparkSession

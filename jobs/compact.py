@@ -9,11 +9,13 @@ Ships as: spark-submit --py-files kg.zip jobs/compact.py --out <root> \
     [--min-files 2] [--keep-snapshots 2] [--tables mentions,relations,...]
 
 Works against the IceLite facade (sandbox) or, via
-SPARK_GRAFT_USE_ICEBERG + a catalog namespace, the real Iceberg
-procedures (rewrite_data_files / expire_snapshots) — the two backends
-share the compact()/expire_snapshots() call surface. Prints one JSON
-line with per-table before/after file counts. Row identity is the
-pytest contract (tests/test_icelite.py::TestMaintenance).
+SPARK_GRAFT_USE_ICEBERG=1 plus ``--namespace catalog.db``, the real
+Iceberg procedures (rewrite_data_files / expire_snapshots) — the two
+backends share the compact()/expire_snapshots() call surface, and
+open_table routes each table name to <namespace>.<name> identifiers.
+Prints one JSON line with per-table before/after file counts (IceLite)
+or the procedure's rewrite counts (Iceberg). Row identity is the pytest
+contract (tests/test_icelite.py::TestMaintenance).
 """
 
 from __future__ import annotations
@@ -49,13 +51,44 @@ def main() -> None:
         default=",".join(DEFAULT_TABLES),
         help="comma-separated table names under --out",
     )
+    ap.add_argument(
+        "--namespace",
+        default=None,
+        help="Iceberg 'catalog.db' namespace — with SPARK_GRAFT_USE_ICEBERG"
+        "=1, tables resolve to <namespace>.<name> and maintenance runs the"
+        " real rewrite_data_files/expire_snapshots procedures",
+    )
     args = ap.parse_args()
+
+    from antnre_spark.iceberg_adapter import open_table
+
+    use_iceberg = os.environ.get("SPARK_GRAFT_USE_ICEBERG", "0") == "1"
+    if use_iceberg and not args.namespace:
+        raise SystemExit(
+            "SPARK_GRAFT_USE_ICEBERG=1 requires --namespace catalog.db "
+            "(table names resolve to catalog identifiers, not paths)"
+        )
 
     spark = get_spark("kg_compact")
     spark.sparkContext.setLogLevel("WARN")
     report: dict[str, dict] = {}
     for name in args.tables.split(","):
         name = name.strip()
+        if use_iceberg:
+            t = open_table(spark, f"{args.namespace}.{name}")
+            if t.current_snapshot() is None:
+                continue
+            rows_before = t.total_rows()
+            c = t.compact(spark, min_files=args.min_files)
+            e = t.expire_snapshots(keep_last=args.keep_snapshots)
+            rows_after = t.total_rows()
+            if rows_after != rows_before:
+                raise RuntimeError(
+                    f"{name}: row count changed during maintenance "
+                    f"({rows_before} -> {rows_after})"
+                )
+            report[name] = {"rows": rows_after, **c, **e}
+            continue
         path = os.path.join(args.out, name)
         if not os.path.isdir(path):
             continue

@@ -69,11 +69,15 @@ def curate_corpus(
     #    minhash_dropped_ppm in the metrics is the fraction (x 1e6,
     #    int-stable for the JSON contract) of band memberships the
     #    max_bucket cap discarded.
-    pre = dedup.minhash_bucket_stats(docs).collect()[0]
+    #    The signature UDF (the stage's dominant cost) runs ONCE: the
+    #    persisted signed frame feeds both the pre-flight aggregate and
+    #    the candidate self-join (r5 self-review finding).
+    signed = dedup.minhash_signed_bands(docs).persist()
+    pre = dedup.minhash_bucket_stats(docs, signed=signed).collect()[0]
     metrics["minhash_dropped_ppm"] = int(
         round((pre["dropped_frac"] or 0.0) * 1_000_000)
     )
-    cand = dedup.minhash_dup_candidates(docs)
+    cand = dedup.minhash_dup_candidates(docs, signed=signed)
     grams = docs.select(
         "doc_id",
         dedup.word_ngrams(
@@ -96,6 +100,7 @@ def curate_corpus(
         losers.select("doc_id"), "doc_id", "left_anti"
     ).localCheckpoint(eager=True)
     metrics["after_neardup_dedup"] = docs.count()
+    signed.unpersist()  # survivors are materialized; release the bands
 
     # 3. quality gate (single pass of pure column predicates).
     # langid_model='ngram' uses the trained 14-language char-trigram NB

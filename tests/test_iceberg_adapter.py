@@ -208,3 +208,54 @@ class TestPipelineCutover:
             vocab_json="/nonexistent.json",
         )
         assert isinstance(plain.table("triples"), IceLite)
+
+
+class TestMaintenanceSurface:
+    """r5: the real-procedure maintenance twins (mocked call surface)."""
+
+    def test_compact_calls_rewrite_data_files(self):
+        t, _spark = make_table(snapshots=((1, 10),))
+        row = {"rewritten_data_files_count": 7, "added_data_files_count": 2}
+        t._sql = MagicMock(
+            return_value=MagicMock(collect=MagicMock(return_value=[row]))
+        )
+        rep = t.compact(min_files=3)
+        sql = t._sql.call_args[0][0]
+        assert "CALL cat.system.rewrite_data_files" in sql
+        assert "min-input-files" in sql and "'3'" in sql
+        assert rep["rewritten_data_files_count"] == 7
+
+    def test_expire_snapshots_pins_older_than_to_now(self):
+        """Iceberg's default older_than = now()-5d would make a daily
+        maintenance job expire NOTHING; the adapter must pass an explicit
+        older_than so retain_last is the only retention rule (r5
+        self-review)."""
+        t, _spark = make_table(snapshots=((1, 10),))
+        row = {"deleted_data_files_count": 4}
+        t._sql = MagicMock(
+            return_value=MagicMock(collect=MagicMock(return_value=[row]))
+        )
+        t.snapshots = MagicMock(return_value=[1])
+        rep = t.expire_snapshots(keep_last=2)
+        sql = t._sql.call_args[0][0]
+        assert "CALL cat.system.expire_snapshots" in sql
+        assert "older_than => TIMESTAMP '" in sql
+        assert "retain_last => 2" in sql
+        assert rep["deleted_data_files_count"] == 4
+
+    def test_total_rows_counts_when_latest_summary_missing(self):
+        """A maintenance/delete commit without 'total-records' must NOT
+        fall back to a STALE older summary — the adapter pays for a real
+        (manifest-served) count instead (r5 self-review)."""
+        t, _spark = make_table(snapshots=((1, 100), (2, None)))
+        orig_sql = t._sql
+
+        def routed(q):
+            if q.startswith("SELECT count(*)"):
+                return MagicMock(
+                    collect=MagicMock(return_value=[{"n": 60}])
+                )
+            return orig_sql(q)
+
+        t._sql = MagicMock(side_effect=routed)
+        assert t.total_rows() == 60

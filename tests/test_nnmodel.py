@@ -275,3 +275,9 @@ class TestMarginalConfidence:
         assert [(m.begin, m.end) for m in m_loc] == [
             (m.begin, m.end) for m in m_marg
         ]
+
+    def test_unknown_conf_mode_rejected(self, model):
+        toks = ["alice", "liddell", "works", "for", "acme", "corp", "."]
+        [(h, e)] = model.encode([toks])
+        with pytest.raises(ValueError, match="conf_mode"):
+            model.extract_mentions(h, e, conf_mode="marginals")

@@ -504,3 +504,39 @@ class TestStatefulAssembly:
         assert rows["R"] == (3, "one two three", "timeout")
         assert rows["S"][2] == "timeout"  # flushed by T's watermark
         assert "T" not in rows            # still in flight
+
+
+class TestKgStreamEmptyBatches:
+    def test_no_mention_batch_does_not_crash(self, spark, tmp_path, fixture_paths):
+        """r5 self-review: a micro-batch whose turns yield ZERO mentions
+        writes empty partitions; IceLite.load then returns None for the
+        all-empty tables and process_kg_batch must skip the merge phase
+        instead of crashing the stream with AttributeError."""
+        import datetime
+
+        from antnre_spark import extract
+
+        w_bc, v_bc, key = extract.broadcast_model(
+            spark, fixture_paths["weights"], fixture_paths["vocab"]
+        )
+        tables = streaming.kg_stream_tables(str(tmp_path / "kg"))
+        ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+        batch = spark.createDataFrame(
+            [("c0", 0, "user", "the deployment finished without errors .",
+              None, ts)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        # template sentence with no gazetteer entities -> no mentions
+        streaming.process_kg_batch(batch, 0, tables, w_bc, v_bc, key)
+        assert tables["triples"].load(spark) is None
+        # a later batch WITH entities still links fine
+        batch2 = spark.createDataFrame(
+            [("c1", 0, "user", "alice liddell works for acme corp .",
+              None, ts)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        streaming.process_kg_batch(batch2, 1, tables, w_bc, v_bc, key)
+        ents = tables["entities"].load(spark)
+        assert ents is not None and ents.count() >= 2

@@ -433,6 +433,159 @@ def encoder_backward(
 
 
 # ---------------------------------------------------------------------------
+# minimum-risk training (the reference's EMNLP'18 signature objective,
+# `[pub: entrel/train]` unverified — SURVEY.md §0): expected task risk
+# over a k-best candidate distribution, approximated deterministically
+# (Shen et al. 2016-style k-best MRT: candidates = constrained k-best
+# Viterbi paths + the gold path; q_k = softmax(alpha * path scores)
+# restricted to the set; risk = 1 - span F1 vs gold). Deterministic
+# given the candidate set, so the gradient is finite-difference-checkable
+# with the set held fixed — unlike sampled MRT.
+
+
+def kbest_viterbi(
+    emissions: np.ndarray, transitions: np.ndarray, k: int = 5
+) -> list[tuple[float, np.ndarray]]:
+    """Constrained k-best decode: returns up to k (score, tag_ids) pairs,
+    best first. Same BIO constraints and additive-constant handling as
+    crf_nll_grad/viterbi; ties break toward lower tag ids then earlier
+    discovery (stable). Standard per-state k-best list DP — N_TAGS x k
+    lists, fine for sentence-length T."""
+    T = emissions.shape[0]
+    if T == 0:
+        return []
+    em = emissions.astype(np.float64)
+    trans = transitions.astype(np.float64) + CRF_CONSTRAINTS.astype(np.float64)
+    start = START_CONSTRAINTS.astype(np.float64)
+    # lists[state] = list of (score, path tuple) best-first, max k
+    lists: list[list[tuple[float, tuple[int, ...]]]] = [
+        [(float(em[0, s] + start[s]), (s,))] for s in range(N_TAGS)
+    ]
+    for t in range(1, T):
+        new_lists: list[list[tuple[float, tuple[int, ...]]]] = []
+        for dst in range(N_TAGS):
+            cand: list[tuple[float, tuple[int, ...]]] = []
+            for src in range(N_TAGS):
+                for sc, path in lists[src]:
+                    cand.append((sc + trans[src, dst] + em[t, dst], path + (dst,)))
+            cand.sort(key=lambda x: (-x[0], x[1]))
+            new_lists.append(cand[:k])
+        lists = new_lists
+    final = [item for l in lists for item in l]
+    final.sort(key=lambda x: (-x[0], x[1]))
+    return [
+        (sc, np.array(path, dtype=np.int64)) for sc, path in final[:k]
+    ]
+
+
+def _span_f1_risk(
+    pred_tags: np.ndarray, gold_spans: list[tuple[int, int, str]]
+) -> float:
+    """1 - exact-span micro F1 of a tag sequence vs gold spans — the
+    task risk MRT minimizes (the CoNLL04-style entity criterion)."""
+    from antnre_spark.nnmodel import AntNREModel
+
+    pred = set(AntNREModel.spans_from_tags(pred_tags))
+    gold = set(gold_spans)
+    if not pred and not gold:
+        return 0.0
+    tp = len(pred & gold)
+    p = tp / len(pred) if pred else 0.0
+    r = tp / len(gold) if gold else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return 1.0 - f1
+
+
+def _path_score(
+    em: np.ndarray, trans_eff: np.ndarray, start: np.ndarray, tags: np.ndarray
+) -> float:
+    s = float(em[np.arange(len(tags)), tags].sum() + start[tags[0]])
+    if len(tags) > 1:
+        s += float(trans_eff[tags[:-1], tags[1:]].sum())
+    return s
+
+
+def mrt_sentence_grad(
+    emissions: np.ndarray,
+    gold_spans: list[tuple[int, int, str]],
+    transitions: np.ndarray,
+    k: int = 5,
+    alpha: float = 1.0,
+    candidates: list[np.ndarray] | None = None,
+) -> tuple[float, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Expected risk + exact gradients w.r.t. emissions/transitions for
+    ONE sentence over a fixed candidate set.
+
+    L = sum_k q_k * risk_k,  q = softmax(alpha * scores) over the set;
+    dL/ds_k = alpha * q_k * (risk_k - L), pushed onto the path one-hots.
+    ``candidates`` lets a finite-difference test (and an epoch loop that
+    freezes candidates per step) hold the set fixed; by default it is
+    the constrained k-best plus the gold path."""
+    T = emissions.shape[0]
+    if T == 0:
+        return 0.0, np.zeros_like(emissions), np.zeros_like(transitions), []
+    em = emissions.astype(np.float64)
+    trans_eff = transitions.astype(np.float64) + CRF_CONSTRAINTS.astype(np.float64)
+    start = START_CONSTRAINTS.astype(np.float64)
+    if candidates is None:
+        cands = [tags for _sc, tags in kbest_viterbi(emissions, transitions, k)]
+        gold_tags = tags_from_spans(gold_spans, T)
+        if not any(np.array_equal(gold_tags, c) for c in cands):
+            cands.append(gold_tags)
+    else:
+        cands = candidates
+    scores = np.array([_path_score(em, trans_eff, start, c) for c in cands])
+    risks = np.array([_span_f1_risk(c, gold_spans) for c in cands])
+    z = alpha * scores
+    z -= z.max()
+    q = np.exp(z)
+    q /= q.sum()
+    L = float((q * risks).sum())
+    ds = alpha * q * (risks - L)  # [K]
+    d_em = np.zeros_like(em)
+    d_trans = np.zeros((N_TAGS, N_TAGS), dtype=np.float64)
+    for dk, tags in zip(ds, cands):
+        d_em[np.arange(T), tags] += dk
+        if T > 1:
+            np.add.at(d_trans, (tags[:-1], tags[1:]), dk)
+    return L, d_em, d_trans, cands
+
+
+def batch_mrt_grad(
+    weights: dict[str, np.ndarray],
+    vocab: dict[str, int],
+    sentences: list[dict],
+    k: int = 5,
+    alpha: float = 1.0,
+) -> tuple[np.ndarray, float, int]:
+    """MRT loss/gradient SUMS for one batch: encoder forward, per-sentence
+    expected-risk gradients w.r.t. emissions/transitions, one shared
+    encoder backward. Same composable-sums contract as batch_loss_grad
+    (the Spark layer treats them interchangeably). Returns
+    (enc_grad_flat, risk_sum, n_sentences)."""
+    cache = encoder_forward(weights, [s["tokens"] for s in sentences], vocab)
+    d_hidden = [np.zeros_like(h) for h in cache["hidden"]]
+    d_emissions = [np.zeros_like(e) for e in cache["emissions"]]
+    trans = np.asarray(weights["crf_transitions"], dtype=np.float64)
+    d_trans = np.zeros_like(trans)
+    risk_sum, n = 0.0, 0
+    for si, sent in enumerate(sentences):
+        L = cache["lens"][si]
+        if L == 0:
+            continue
+        r, d_em, d_tr, _c = mrt_sentence_grad(
+            cache["emissions"][si], sent["spans"], trans, k=k, alpha=alpha
+        )
+        risk_sum += r
+        n += 1
+        d_emissions[si] += d_em
+        d_trans += d_tr
+    grads = encoder_backward(cache, d_hidden, d_emissions)
+    grads["crf_transitions"] += d_trans
+    return flatten_params(grads, ENC_PARAMS), risk_sum, n
+
+
+# ---------------------------------------------------------------------------
 # joint per-batch loss/grad (the distributed-trainer unit)
 
 

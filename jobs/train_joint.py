@@ -69,10 +69,26 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--holdout-mod", type=int, default=5)
     ap.add_argument(
+        "--sample-fraction",
+        type=float,
+        default=None,
+        help="per-epoch Bernoulli sample of the gold table (minibatch "
+        "SGD — the corpus-scale path; omit for full-batch)",
+    )
+    ap.add_argument(
         "--detector-only",
         action="store_true",
         help="train only the mention detector (rel_weight forced to 0)",
     )
+    ap.add_argument(
+        "--mrt-epochs",
+        type=int,
+        default=0,
+        help="after the NLL/joint phase, fine-tune the detector with N "
+        "epochs of minimum-risk training (expected span-F1 risk over "
+        "k-best candidates — the reference's EMNLP'18-style objective)",
+    )
+    ap.add_argument("--mrt-k", type=int, default=5)
     args = ap.parse_args()
     rel_weight = 0.0 if args.detector_only else args.rel_weight
 
@@ -106,7 +122,21 @@ def main() -> None:
         epochs=args.epochs,
         lr=args.lr,
         rel_weight=rel_weight,
+        sample_fraction=args.sample_fraction,
+        seed=args.seed,
     )
+    mrt_history: list | None = None
+    if args.mrt_epochs > 0:
+        trained, mrt_history = train.fit_mrt(
+            train_df,
+            trained,
+            vocab,
+            epochs=args.mrt_epochs,
+            lr=args.lr,
+            k=args.mrt_k,
+            sample_fraction=args.sample_fraction,
+            seed=args.seed,
+        )
     train_df.unpersist()
     np.savez(args.out, **trained)
 
@@ -119,6 +149,9 @@ def main() -> None:
         "crf_loss_last": history[-1]["crf"],
         "rel_loss_last": history[-1]["rel"],
     }
+    if mrt_history is not None:
+        report["mrt_risk_first"] = mrt_history[0]
+        report["mrt_risk_last"] = mrt_history[-1]
     if heldout:
         report["heldout_mention"] = train.mention_prf(trained, vocab, heldout)
         report["heldout_triple"] = train.triple_prf(trained, vocab, heldout)

@@ -207,3 +207,88 @@ class TestEncoderChain:
         tags = eg.tags_from_spans(spans, 5)
         assert [TAGS[t] for t in tags] == ["B-Peop", "I-Peop", "O", "B-Loc", "O"]
         assert AntNREModel.spans_from_tags(tags) == spans
+
+
+class TestMRT:
+    """k-best approximate minimum-risk training (the reference's
+    EMNLP'18 signature objective): k-best decode properties + exact
+    gradients over a fixed candidate set."""
+
+    def test_kbest_top1_equals_viterbi_and_paths_valid(self, fixture_paths):
+        import json
+
+        with np.load(fixture_paths["weights"]) as z:
+            w = {k: z[k] for k in z.files}
+        with open(fixture_paths["vocab"]) as f:
+            vocab = json.load(f)
+        model = AntNREModel(w, vocab)
+        rng = np.random.default_rng(5)
+        for _ in range(5):
+            T = int(rng.integers(2, 9))
+            em = rng.standard_normal((T, 9)).astype(np.float32)
+            best = eg.kbest_viterbi(em, w["crf_transitions"], k=4)
+            assert len(best) >= 1
+            scores = [s for s, _t in best]
+            assert scores == sorted(scores, reverse=True)
+            np.testing.assert_array_equal(best[0][1], model.viterbi(em))
+            from antnre_spark.nnmodel import TAGS
+            for _s, tags in best:
+                # BIO validity: no I-x after anything but B-x/I-x
+                prev = "O"
+                for tid in tags:
+                    tag = TAGS[int(tid)]
+                    if tag.startswith("I-"):
+                        assert prev in (f"B-{tag[2:]}", f"I-{tag[2:]}")
+                    prev = tag
+
+    def test_mrt_finite_difference_fixed_candidates(self):
+        rng = np.random.default_rng(9)
+        T = 6
+        em = rng.standard_normal((T, 9))
+        trans = rng.standard_normal((9, 9)) * 0.3
+        gold = [(1, 3, "Org")]
+        # freeze the candidate set at the base point
+        _L0, _de, _dt, cands = eg.mrt_sentence_grad(em, gold, trans, k=4)
+        L, d_em, d_tr, _ = eg.mrt_sentence_grad(
+            em, gold, trans, candidates=cands
+        )
+        eps = 1e-6
+        for _ in range(12):
+            t, kk = rng.integers(T), rng.integers(9)
+            ep_, em_ = em.copy(), em.copy()
+            ep_[t, kk] += eps
+            em_[t, kk] -= eps
+            lp = eg.mrt_sentence_grad(ep_, gold, trans, candidates=cands)[0]
+            lm = eg.mrt_sentence_grad(em_, gold, trans, candidates=cands)[0]
+            assert (lp - lm) / (2 * eps) == pytest.approx(
+                d_em[t, kk], rel=1e-4, abs=1e-8
+            )
+        for _ in range(12):
+            a, b = rng.integers(9), rng.integers(9)
+            tp_, tm_ = trans.copy(), trans.copy()
+            tp_[a, b] += eps
+            tm_[a, b] -= eps
+            lp = eg.mrt_sentence_grad(em, gold, tp_, candidates=cands)[0]
+            lm = eg.mrt_sentence_grad(em, gold, tm_, candidates=cands)[0]
+            assert (lp - lm) / (2 * eps) == pytest.approx(
+                d_tr[a, b], rel=1e-4, abs=1e-8
+            )
+
+    def test_risk_is_zero_iff_gold_dominates(self):
+        """When the model is confident in the gold path, expected risk
+        -> 0; when confident in a wrong path, risk -> 1."""
+        from antnre_spark.nnmodel import TAGS
+
+        T = 4
+        gold = [(0, 2, "Peop")]
+        gold_tags = eg.tags_from_spans(gold, T)
+        em = np.full((T, 9), -5.0)
+        em[np.arange(T), gold_tags] = 5.0
+        trans = np.zeros((9, 9))
+        L, _de, _dt, _c = eg.mrt_sentence_grad(em, gold, trans, k=4)
+        assert L < 0.01
+        wrong = eg.tags_from_spans([(0, 2, "Org")], T)
+        em2 = np.full((T, 9), -5.0)
+        em2[np.arange(T), wrong] = 5.0
+        L2, _de, _dt, _c = eg.mrt_sentence_grad(em2, gold, trans, k=4)
+        assert L2 > 0.9

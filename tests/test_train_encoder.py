@@ -127,3 +127,40 @@ class TestMentionDetectorTraining:
         base_f1 = train.triple_prf(w, vocab, heldout)["f1"]
         assert joint_f1 >= base_f1 - 0.05, (joint_f1, base_f1)
         assert joint_f1 >= dec_f1 + 0.3, (joint_f1, dec_f1, history[-5:])
+
+
+class TestSampledEpochs:
+    def test_minibatch_sampling_still_learns(self, gold_split, fixture_model):
+        """The 10^12-scale path: each epoch trains on a seeded HALF
+        sample of the gold table (minibatch SGD at DataFrame
+        granularity). Must still recover the degraded detector to
+        >= 0.95x the fixture F1 — with more epochs than full-batch, but
+        each epoch costing half the scan."""
+        train_df, heldout = gold_split
+        w, vocab = fixture_model
+        base = train.mention_prf(w, vocab, heldout)["f1"]
+        wd = _degrade(w, np.random.default_rng(0), rel_too=False)
+        trained, history = train.fit_joint(
+            train_df, wd, vocab, epochs=18, lr=0.05, rel_weight=0.0,
+            sample_fraction=0.5,
+        )
+        got = train.mention_prf(trained, vocab, heldout)["f1"]
+        assert got >= 0.95 * base, (got, base, history[-3:])
+
+
+class TestMinimumRisk:
+    def test_distributed_mrt_recovers_f1(self, gold_split, fixture_model):
+        """The reference's EMNLP'18-style objective, distributed: from
+        the degraded init, minimizing expected span-F1 risk over k-best
+        candidates must recover held-out mention F1 to >= 0.95x the
+        fixture weights — and the per-epoch mean risk must collapse."""
+        train_df, heldout = gold_split
+        w, vocab = fixture_model
+        base = train.mention_prf(w, vocab, heldout)["f1"]
+        wd = _degrade(w, np.random.default_rng(0), rel_too=False)
+        trained, history = train.fit_mrt(
+            train_df, wd, vocab, epochs=12, lr=0.05, k=5
+        )
+        assert history[-1] < 0.1 * history[0], history
+        got = train.mention_prf(trained, vocab, heldout)["f1"]
+        assert got >= 0.95 * base, (got, base, history)

@@ -41,16 +41,26 @@ Modules map to SURVEY.md §2 operator families:
                bucketed_topk_batch)
   streaming    foreachBatch extraction (idempotent per-batch overwrite),
                watermarked session windows, applyInPandasWithState
-               stateful document assembly
+               stateful document assembly; r5: incremental linking +
+               triple materialization (start_kg_stream — stream triples
+               equal the batch link job exactly)
   multimodal   binary media columns: byte-capped decode batches, frame
                plans, REAL pure-numpy PPM/WAV decode kernels with a
                flagged byte-stat fallback
-  train        distributed relation-decoder training (frozen-encoder
-               features, data-parallel gradient all-reduce)
+  train        distributed training: relation decoder (frozen-encoder
+               features), mention detector + JOINT model (fit_joint —
+               CRF NLL + relation CE through the shared encoder), and
+               minimum-risk fine-tuning (fit_mrt, EMNLP'18-style k-best
+               expected span-F1 risk); all data-parallel gradient
+               all-reduce, optional per-epoch Bernoulli minibatching
+  encoder_grad pure-numpy CRF forward/backward + full encoder backprop
+               (masked-BiLSTM BPTT, char-CNN maxpool routing, embedding
+               scatter-adds) + k-best MRT gradients — every array
+               finite-difference-pinned (no pyspark imports)
   iceberg_adapter flag-guarded real-Iceberg twin of the IceLite surface
   evaluate     CoNLL04-style P/R/F1 vs the golden oracle tables
   sources      CoNLL04-format corpus reader/writer
   hashing      shared deterministic MinHash/gram primitives (no pyspark)
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"

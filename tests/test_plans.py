@@ -76,6 +76,24 @@ class TestStreamMergePlan:
         assert "SortMergeJoin" not in plan
 
 
+class TestTrigramJoinPlan:
+    def test_gram_table_join_is_broadcast(self, spark):
+        """The corpus-scale trigram scorer must probe the gram table with
+        a broadcast hash join (O(1)/gram) — a SortMergeJoin here would
+        shuffle the exploded gram stream on the tiny table's account."""
+        from antnre_spark.textops import with_trigram_logprob_join
+
+        df = spark.createDataFrame(
+            [(0, "some prose to score")], ["doc_id", "text"]
+        )
+        plan = plan_of(with_trigram_logprob_join(df))
+        assert "BroadcastHashJoin" in plan
+        # NOTE the per-doc score join-back (df ⋈ scores on id) is
+        # correctly a shuffle join — both sides are corpus-sized; only
+        # the gram-table probe must be broadcast, and it is (the hint is
+        # on the table side), so we do not assert SortMergeJoin absence.
+
+
 class TestScanPruning:
     def test_filter_and_projection_reach_parquet_scan(self, spark):
         """Predicate pushdown + column pruning on the documents scan: the

@@ -45,6 +45,10 @@ class PipelineConfig:
     # benchmarks set 10x cores via jobs/extract.py --local-bench.
     repartition_to: int | None = None
     token_budget: int = extract.TOKEN_BUDGET
+    # mention-confidence mode: 'local' (frozen golden-output default) or
+    # 'marginal' (r5 — true CRF posterior marginal; see nnmodel
+    # .extract_mentions). Spans are identical either way.
+    conf_mode: str = "local"
     jaccard_tau: float = link.JACCARD_TAU
     max_turns_per_doc: int = assemble.MAX_TURNS_PER_DOC
     model_hash: str = field(default="")
@@ -131,6 +135,7 @@ def extract_job(
         extracted = extract.extract_turns(
             ext_turns, weights_bc, vocab_bc, cfg.token_budget, model_key,
             repartition_to=cfg.repartition_to,
+            conf_mode=cfg.conf_mode,
         )
         # persist, not localCheckpoint: one forward pass shared by the
         # mention and relation sinks, releasable after the marker commits.

@@ -41,6 +41,14 @@ def main() -> None:
         "— is the plan you want on a real cluster with upstream bucketing)",
     )
     ap.add_argument(
+        "--conf-mode",
+        choices=["local", "marginal"],
+        default="local",
+        help="mention confidence: 'local' (frozen default, per-position "
+        "emission softmax) or 'marginal' (r5 — true CRF posterior "
+        "marginal via forward-backward; identical spans, calibrated conf)",
+    )
+    ap.add_argument(
         "--incremental-since",
         type=int,
         default=None,
@@ -60,6 +68,7 @@ def main() -> None:
         weights_npz=args.weights,
         vocab_json=args.vocab,
         n_buckets=args.n_buckets,
+        conf_mode=args.conf_mode,
         repartition_to=(
             10 * spark.sparkContext.defaultParallelism if args.local_bench else None
         ),

@@ -117,6 +117,34 @@ class TestGroupedMapVariant:
             b = {tuple(r) for r in explode(fused).collect()}
             assert a == b and a
 
+    def test_marginal_conf_mode_same_spans_different_conf(
+        self, spark, transcripts_df, model_bcs
+    ):
+        """r5 E5 upgrade through the DISTRIBUTED path: conf_mode=
+        'marginal' must emit the identical mention spans/types (decode is
+        untouched) with confidences that are true CRF posteriors — some
+        must differ from the local softmax values."""
+        w_bc, v_bc, key = model_bcs
+        sample = assemble.filter_extractable(
+            assemble.dedup_turns(transcripts_df.filter(F.col("conv_id") < "c000010"))
+        )
+        loc = extract.explode_mentions(
+            extract.extract_turns(sample, w_bc, v_bc, model_key=key)
+        ).collect()
+        marg = extract.explode_mentions(
+            extract.extract_turns(
+                sample, w_bc, v_bc, model_key=key, conf_mode="marginal"
+            )
+        ).collect()
+        key_of = lambda r: (r["mention_id"],)
+        a = {key_of(r): (r["begin"], r["end"], r["ent_type"], r["conf"]) for r in loc}
+        b = {key_of(r): (r["begin"], r["end"], r["ent_type"], r["conf"]) for r in marg}
+        assert a.keys() == b.keys() and a
+        spans_equal = all(a[k][:3] == b[k][:3] for k in a)
+        assert spans_equal
+        assert any(a[k][3] != b[k][3] for k in a), "conf must actually change"
+        assert all(0.0 <= b[k][3] <= 1.0 for k in b)
+
     def test_fused_tokenizer_matches_jvm_on_nasty_whitespace(
         self, spark, model_bcs
     ):

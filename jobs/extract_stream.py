@@ -37,17 +37,32 @@ def main() -> None:
         "materialization; triples_stream then equals the batch link_job "
         "over the same turns",
     )
+    ap.add_argument(
+        "--link-every",
+        type=int,
+        default=1,
+        help="run the merge/relink phase on every K-th batch only (the "
+        "amortization knob); the tail is always materialized after the "
+        "stream drains",
+    )
     args = ap.parse_args()
 
     spark = get_spark("kg_extract_stream")
     if args.link:
-        from antnre_spark.streaming import start_kg_stream
+        from antnre_spark.streaming import (
+            kg_stream_tables,
+            materialize_kg_stream,
+            start_kg_stream,
+        )
 
         q = start_kg_stream(
             spark, args.input_dir, args.out, args.weights, args.vocab,
-            args.checkpoint,
+            args.checkpoint, link_every=args.link_every,
         )
         q.awaitTermination()
+        # bring the serving tables current regardless of where the last
+        # link_every boundary fell (idempotent)
+        materialize_kg_stream(spark, kg_stream_tables(args.out))
         out = {
             "mentions": IceLite(f"{args.out}/mentions_stream").total_rows(),
             "relations": IceLite(f"{args.out}/relations_stream").total_rows(),

@@ -506,6 +506,55 @@ class TestStatefulAssembly:
         assert "T" not in rows            # still in flight
 
 
+class TestLinkEveryAmortization:
+    def test_link_every_plus_tail_materialize_converges(
+        self, spark, stream_dirs, fixture_paths
+    ):
+        """r5 amortization knob: with link_every=3 over 2 micro-batches
+        the in-stream merge never fires, yet one materialize_kg_stream
+        call after draining produces exactly the per-batch-merge
+        triples — phase 1 alone carries all durable state."""
+        from antnre_spark.icelite import IceLite
+
+        q = streaming.start_kg_stream(
+            spark,
+            stream_dirs["in"],
+            stream_dirs["out"],
+            fixture_paths["weights"],
+            fixture_paths["vocab"],
+            stream_dirs["ckpt"],
+            max_files_per_trigger=1,
+            link_every=3,
+        )
+        q.awaitTermination(300)
+        # no merge has run mid-stream
+        assert IceLite(f"{stream_dirs['out']}/triples_stream").load(spark) is None
+        tables = streaming.kg_stream_tables(stream_dirs["out"])
+        streaming.materialize_kg_stream(spark, tables)
+        amortized = sorted(
+            (r["subj"], r["pred"], r["obj"], r["conf"], r["n_evidence"])
+            for r in IceLite(f"{stream_dirs['out']}/triples_stream")
+            .load(spark).collect()
+        )
+        # twin run with per-batch merging into a separate sink
+        out2 = stream_dirs["out"] + "_perbatch"
+        q2 = streaming.start_kg_stream(
+            spark,
+            stream_dirs["in"],
+            out2,
+            fixture_paths["weights"],
+            fixture_paths["vocab"],
+            stream_dirs["ckpt"] + "2",
+            max_files_per_trigger=1,
+        )
+        q2.awaitTermination(300)
+        perbatch = sorted(
+            (r["subj"], r["pred"], r["obj"], r["conf"], r["n_evidence"])
+            for r in IceLite(f"{out2}/triples_stream").load(spark).collect()
+        )
+        assert amortized == perbatch and len(amortized) > 100
+
+
 class TestKgStreamEmptyBatches:
     def test_no_mention_batch_does_not_crash(self, spark, tmp_path, fixture_paths):
         """r5 self-review: a micro-batch whose turns yield ZERO mentions

@@ -448,34 +448,51 @@ def kbest_viterbi(
 ) -> list[tuple[float, np.ndarray]]:
     """Constrained k-best decode: returns up to k (score, tag_ids) pairs,
     best first. Same BIO constraints and additive-constant handling as
-    crf_nll_grad/viterbi; ties break toward lower tag ids then earlier
-    discovery (stable). Standard per-state k-best list DP — N_TAGS x k
-    lists, fine for sentence-length T."""
+    crf_nll_grad/viterbi; ties break toward the lower source state, then
+    the earlier rank (deterministic). Backpointer k-best DP (r5 ADVICE):
+    each (t, state, rank) cell stores (score, src_state, src_rank) — O(1)
+    per entry — and the k paths are reconstructed once at the end, so
+    per-step work is O(N_TAGS^2 * k) instead of the old path-tuple DP's
+    O(T) tuple copies per candidate (O(T^2) per sentence — the fit_mrt
+    executor hot loop on long sentences)."""
     T = emissions.shape[0]
     if T == 0:
         return []
     em = emissions.astype(np.float64)
     trans = transitions.astype(np.float64) + CRF_CONSTRAINTS.astype(np.float64)
     start = START_CONSTRAINTS.astype(np.float64)
-    # lists[state] = list of (score, path tuple) best-first, max k
-    lists: list[list[tuple[float, tuple[int, ...]]]] = [
-        [(float(em[0, s] + start[s]), (s,))] for s in range(N_TAGS)
+    # layers[t][state] = up to k (score, src_state, src_rank) best-first;
+    # (src_state, src_rank) index layers[t-1]; (-1, -1) marks t=0
+    layers: list[list[list[tuple[float, int, int]]]] = [
+        [[(float(em[0, s] + start[s]), -1, -1)] for s in range(N_TAGS)]
     ]
     for t in range(1, T):
-        new_lists: list[list[tuple[float, tuple[int, ...]]]] = []
+        prev = layers[-1]
+        new_layer: list[list[tuple[float, int, int]]] = []
         for dst in range(N_TAGS):
-            cand: list[tuple[float, tuple[int, ...]]] = []
+            cand: list[tuple[float, int, int]] = []
             for src in range(N_TAGS):
-                for sc, path in lists[src]:
-                    cand.append((sc + trans[src, dst] + em[t, dst], path + (dst,)))
-            cand.sort(key=lambda x: (-x[0], x[1]))
-            new_lists.append(cand[:k])
-        lists = new_lists
-    final = [item for l in lists for item in l]
-    final.sort(key=lambda x: (-x[0], x[1]))
-    return [
-        (sc, np.array(path, dtype=np.int64)) for sc, path in final[:k]
+                step = trans[src, dst] + em[t, dst]
+                for r, (sc, _ps, _pr) in enumerate(prev[src]):
+                    cand.append((sc + step, src, r))
+            cand.sort(key=lambda x: (-x[0], x[1], x[2]))
+            new_layer.append(cand[:k])
+        layers.append(new_layer)
+    final = [
+        (entry[0], s, r)
+        for s in range(N_TAGS)
+        for r, entry in enumerate(layers[-1][s])
     ]
+    final.sort(key=lambda x: (-x[0], x[1], x[2]))
+    out: list[tuple[float, np.ndarray]] = []
+    for sc, s, r in final[:k]:
+        path = np.empty(T, dtype=np.int64)
+        st, rk = s, r
+        for t in range(T - 1, -1, -1):
+            path[t] = st
+            _sc, st, rk = layers[t][st][rk]
+        out.append((sc, path))
+    return out
 
 
 def _span_f1_risk(

@@ -188,15 +188,19 @@ class IcebergTable:
         snapshot too young) while the IceLite twin trims immediately —
         pinning older_than to the present makes retain_last the only
         retention rule, matching IceLite.expire_snapshots semantics
-        (r5 self-review finding)."""
-        from datetime import datetime, timezone
+        (r5 self-review finding).
 
-        now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        ``current_timestamp()`` is evaluated server-side IN the CALL, so
+        no session-timezone conversion can skew it: a driver-formatted
+        UTC string in a zone-less TIMESTAMP literal would be re-read in
+        spark.sql.session.timeZone, landing the cutoff hours in the past
+        in any UTC+X session and silently retaining young snapshots
+        beyond retain_last (r5 ADVICE finding)."""
         catalog = self.identifier.split(".", 1)[0]
         rows = self._sql(
             f"CALL {catalog}.system.expire_snapshots("
             f"table => '{self.identifier}', "
-            f"older_than => TIMESTAMP '{now}', "
+            f"older_than => current_timestamp(), "
             f"retain_last => {keep_last})"
         ).collect()
         r = rows[0] if rows else None

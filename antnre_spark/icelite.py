@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a commit finds its target snapshot id already taken —
+    another writer won the race (IceLite's CommitFailedException twin)."""
+
+
 class IceLite:
     def __init__(self, path: str):
         self.path = path
@@ -72,7 +77,27 @@ class IceLite:
         tmp = os.path.join(self.manifest_dir, f".tmp-snap-{snap}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=0, sort_keys=True)
-        os.rename(tmp, os.path.join(self.manifest_dir, f"snap-{snap}.json"))  # atomic
+        final = os.path.join(self.manifest_dir, f"snap-{snap}.json")
+        try:
+            # atomic AND exclusive (os.link fails with EEXIST, unlike
+            # rename which silently clobbers): if another writer committed
+            # snapshot `snap` between our manifest read and now — e.g.
+            # jobs/compact.py racing a live start_kg_stream micro-batch —
+            # the loser aborts instead of erasing the winner's commit.
+            # This is IceLite's optimistic-concurrency twin of Iceberg's
+            # CommitFailedException; callers retry from a fresh
+            # current_snapshot() or drain the other writer first.
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot {snap} of {self.path} was committed by another "
+                f"writer between this writer's manifest read and its "
+                f"commit; re-read current_snapshot() and retry (or drain "
+                f"the concurrent writer — see jobs/compact.py)"
+            ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         return snap
 
     # ---- writes ---------------------------------------------------------

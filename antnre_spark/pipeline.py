@@ -25,7 +25,7 @@ import json
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from antnre_spark import assemble, extract, link, materialize
@@ -119,7 +119,16 @@ def extract_job(
 
     for b in todo:
         part = src.filter(F.col("bucket") == b)
-        input_rows = part.count()
+        # input_rows for the marker rides the assembly write as an
+        # Observation instead of a separate part.count() action (r5
+        # verdict task 4): the old count re-scanned every bucket's input
+        # once more per pass, driver-serialized — hundreds of extra
+        # actions at a few hundred (day, bucket) slices. observe() counts
+        # rows at this node during the write that runs anyway; zero extra
+        # scans, identical value (tests/test_plans.py pins the per-bucket
+        # job count).
+        obs = Observation(f"extract_input_b{b}")
+        part = part.observe(obs, F.count(F.lit(1)).alias("input_rows"))
 
         # fused C2+C1: dedup + ordered assembly in a single shuffle
         docs = assemble.assemble_documents_fused(
@@ -127,6 +136,7 @@ def extract_job(
             cfg.max_turns_per_doc,
         ).withColumn("bucket", F.lit(b))
         docs_t.overwrite_partitions(docs, ["bucket"])
+        input_rows = int(obs.get["input_rows"])
 
         ext_turns = assemble.filter_extractable(assemble.explode_documents(docs))
         # fused segmentation+extraction: one Arrow hop (r4 — measured

@@ -281,14 +281,22 @@ def main() -> None:
     # regime a long-running 10^12-turn job actually operates in. The
     # flagship warms on the small mult=1 input (same plan shape).
     warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1"
-    # best-of-N repeats: the sandbox VM's effective CPU speed drifts over
-    # minutes (burst credits; observed 5x single-run blips), so single
-    # timings are noisy; min-of-N within one session is the stable
-    # estimator for steady-state throughput. Default 2 keeps the full
-    # headline run under ~2 minutes while absorbing one blip per query.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
+    # median-of-N repeats (r5 verdict task 1): the sandbox VM's effective
+    # CPU speed drifts over minutes (burst credits; observed 5x single-run
+    # blips, and BENCH_r05 read +23% uniformly vs a controlled same-tree
+    # run), so a one-shot artifact cannot distinguish regression from box
+    # load. The PRIMARY per-query estimator is now the MEDIAN of N runs
+    # (default 3): robust to one blip in either direction, unlike min
+    # (optimistic under sustained load) or a single shot (noise-dominated).
+    # min-of-N is kept as `queries_min` for continuity with the r1-r5
+    # best-of-2 artifacts. This changes the ESTIMATOR, not the frozen
+    # like-for-like query set above — names and implementations compare
+    # exactly as before.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     out_rows: dict[str, int] = {}
     for name, fn in headline.items():
         if warmup:
@@ -302,13 +310,15 @@ def main() -> None:
                 fn(spark, sf_dir, path=warm_path).count()
             else:
                 fn(spark, sf_dir).count()
-        best = None
+        runs: list[float] = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             out_rows[name] = fn(spark, sf_dir).count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        srt = sorted(runs)
+        timings[name] = round(srt[len(srt) // 2], 3)  # upper median
+        timings_min[name] = round(srt[0], 3)
+        samples[name] = [round(r, 3) for r in runs]
 
     total = round(sum(timings.values()), 3)
     lfl = round(
@@ -319,7 +329,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "headline_like_for_like": lfl,
+        "estimator": f"median_of_{repeats}",
         "queries": timings,
+        "queries_min": timings_min,
+        "samples": samples,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "cpus": cpus,
         "input_turns": n_turns,

@@ -16,6 +16,14 @@ open_table routes each table name to <namespace>.<name> identifiers.
 Prints one JSON line with per-table before/after file counts (IceLite)
 or the procedure's rewrite counts (Iceberg). Row identity is the pytest
 contract (tests/test_icelite.py::TestMaintenance).
+
+Concurrency: drain any live writer (e.g. a start_kg_stream job) before
+running maintenance against the same IceLite root. If a racing writer
+commits between this job's manifest read and its commit, IceLite's
+exclusive commit raises ConcurrentCommitError and THIS job loses —
+the pipeline's data commit is never overwritten (r5 ADVICE; the
+IceLite twin of Iceberg's CommitFailedException, where the real
+backend retries server-side).
 """
 
 from __future__ import annotations

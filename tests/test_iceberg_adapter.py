@@ -229,7 +229,9 @@ class TestMaintenanceSurface:
         """Iceberg's default older_than = now()-5d would make a daily
         maintenance job expire NOTHING; the adapter must pass an explicit
         older_than so retain_last is the only retention rule (r5
-        self-review)."""
+        self-review). It must be server-evaluated current_timestamp(),
+        not a driver-formatted zone-less literal, which a UTC+X session
+        would re-read hours in the past (r5 ADVICE)."""
         t, _spark = make_table(snapshots=((1, 10),))
         row = {"deleted_data_files_count": 4}
         t._sql = MagicMock(
@@ -239,7 +241,8 @@ class TestMaintenanceSurface:
         rep = t.expire_snapshots(keep_last=2)
         sql = t._sql.call_args[0][0]
         assert "CALL cat.system.expire_snapshots" in sql
-        assert "older_than => TIMESTAMP '" in sql
+        assert "older_than => current_timestamp()" in sql
+        assert "TIMESTAMP '" not in sql
         assert "retain_last => 2" in sql
         assert rep["deleted_data_files_count"] == 4
 

@@ -80,6 +80,28 @@ class TestAtomicity:
         assert table.snapshots() == [0]
         assert table.current_snapshot() == 0
 
+    def test_concurrent_commit_loses_instead_of_clobbering(self, spark, table):
+        """Two writers racing to the same snapshot id: the second commit
+        must raise ConcurrentCommitError, not silently overwrite the
+        winner's manifest (r5 ADVICE — jobs/compact.py vs a live
+        streaming micro-batch). Simulated by handing _commit a stale
+        parent after another commit landed."""
+        from antnre_spark.icelite import ConcurrentCommitError
+
+        table.append(df_of(spark, [(1, "a", 10)]), ["part"])  # snap 0
+        parent = table.current_snapshot()
+        # winner commits snap 1 first
+        table.append(df_of(spark, [(2, "b", 20)]), ["part"])
+        winner = table.manifest(1)
+        # loser tries to commit snap 1 from the stale parent read
+        with pytest.raises(ConcurrentCommitError):
+            table._commit([], parent, "compact")
+        assert table.manifest(1) == winner  # untouched
+        # no tmp litter left behind
+        assert not [
+            n for n in os.listdir(table.manifest_dir) if n.startswith(".tmp")
+        ]
+
 
 class TestMaintenance:
     """r4 verdict task 8: small-file compaction + snapshot expiry."""

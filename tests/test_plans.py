@@ -139,3 +139,41 @@ class TestBatchAnnPlan:
         queries = df.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
         plan = plan_of(simsearch.ivf_topk_batch(idx, queries, cents, k=5))
         assert "WindowGroupLimit" in plan
+
+
+class TestExtractJobActions:
+    def test_input_rows_rides_the_assembly_write(
+        self, spark, transcripts_df, fixture_paths, tmp_path
+    ):
+        """extract_job's marker input_rows must come from an Observation
+        on the write that runs anyway, NOT a separate part.count() scan
+        (r5 verdict task 4 — the old count was one extra driver-serialized
+        action per (day, bucket) slice; hundreds at 100x). Pinned as a job
+        budget: one bucket completes in <= 12 Spark jobs under the test
+        session (4 cores / 8 shuffle partitions, AQE on); re-adding the
+        count pushes it past the budget. Marker value semantics unchanged:
+        input_rows still equals the bucket's turn count."""
+        from antnre_spark.metrics import MarkerStore
+        from antnre_spark.pipeline import PipelineConfig, bucket_of, extract_job
+
+        cfg = PipelineConfig(
+            out_root=str(tmp_path / "jobcount"),
+            weights_npz=fixture_paths["weights"],
+            vocab_json=fixture_paths["vocab"],
+            n_buckets=2,
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup("extract-jobcount", "extract_job single bucket")
+        try:
+            extract_job(spark, transcripts_df, cfg, buckets=[0])
+        finally:
+            sc.setJobGroup(None, None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("extract-jobcount"))
+        assert 0 < n_jobs <= 12, f"extract_job ran {n_jobs} jobs for one bucket"
+
+        expected = transcripts_df.filter(
+            bucket_of(F.col("conv_id"), 2) == 0
+        ).count()
+        markers = MarkerStore(str(tmp_path / "jobcount" / "_markers"))
+        rows = [m for m in markers._rows() if m["stage"] == "extract"]
+        assert rows and rows[0]["input_rows"] == expected

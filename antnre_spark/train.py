@@ -364,8 +364,8 @@ def pair_feature_frame(
 # features or activations, cross the wire — executor-count-independent.
 
 JOINT_GRAD_SCHEMA = (
-    "enc array<double>, rel array<double>, crf double, rell double, "
-    "nt long, npair long"
+    "enc array<double>, rel array<double>, gcn array<double>, "
+    "crf double, rell double, gcnl double, nt long, npair long, nnode long"
 )
 _TRAIN_SUB_BATCH = 256  # sentences per padded forward (padding-waste cap)
 
@@ -405,6 +405,45 @@ def _adam_step(w, g, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8):
     return w, m, v
 
 
+def _sum_grad_rows(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Combiner stage of the two-level gradient reduce: element-wise sum
+    of JOINT_GRAD_SCHEMA rows within a partition. Pure addition — the
+    same composition rule the driver applies, just one level earlier."""
+    acc = None
+    for pdf in batches:
+        for _i, r in pdf.iterrows():
+            if acc is None:
+                acc = {
+                    "enc": np.asarray(r["enc"], dtype=np.float64),
+                    "rel": np.asarray(r["rel"], dtype=np.float64),
+                    "gcn": np.asarray(r["gcn"], dtype=np.float64),
+                    "crf": float(r["crf"]), "rell": float(r["rell"]),
+                    "gcnl": float(r["gcnl"]), "nt": int(r["nt"]),
+                    "npair": int(r["npair"]), "nnode": int(r["nnode"]),
+                }
+            else:
+                acc["enc"] += np.asarray(r["enc"], dtype=np.float64)
+                acc["rel"] += np.asarray(r["rel"], dtype=np.float64)
+                acc["gcn"] += np.asarray(r["gcn"], dtype=np.float64)
+                acc["crf"] += float(r["crf"])
+                acc["rell"] += float(r["rell"])
+                acc["gcnl"] += float(r["gcnl"])
+                acc["nt"] += int(r["nt"])
+                acc["npair"] += int(r["npair"])
+                acc["nnode"] += int(r["nnode"])
+    if acc is not None:
+        yield pd.DataFrame(
+            {
+                "enc": [acc["enc"].tolist()],
+                "rel": [acc["rel"].tolist()],
+                "gcn": [acc["gcn"].tolist()],
+                "crf": [acc["crf"]], "rell": [acc["rell"]],
+                "gcnl": [acc["gcnl"]], "nt": [acc["nt"]],
+                "npair": [acc["npair"]], "nnode": [acc["nnode"]],
+            }
+        )
+
+
 def fit_joint(
     gold: DataFrame,
     weights: dict[str, np.ndarray],
@@ -415,6 +454,10 @@ def fit_joint(
     sub_batch: int = _TRAIN_SUB_BATCH,
     sample_fraction: float | None = None,
     seed: int = 0,
+    refine: bool = False,
+    refine_weight: float = 1.0,
+    dtype: str = "float64",
+    combine_above: int = 16,
 ) -> tuple[dict[str, np.ndarray], list[dict]]:
     """Distributed full-batch training of the mention detector
     (``rel_weight=0``: CRF NLL through BiLSTM/char-CNN/embeddings/
@@ -446,32 +489,68 @@ def fit_joint(
     affordable. The gradient is still normalized per token, so the step
     scale is fraction-independent; loss history reports the SAMPLED
     epoch means.
+
+    ``refine`` (r5 verdict task 2): also train the F4 GCN type-refinement
+    head — per-sentence cross-entropy on the gold mention graph
+    (encoder_grad.gcn_grad_loss), weighted ``refine_weight``, its feature
+    gradient flowing into the shared encoder. The trained gcn_* arrays
+    replace the fixture priors in the returned weights; without
+    ``refine`` they pass through untouched (inference defaults
+    unchanged).
+
+    ``dtype`` (r5 verdict task 3): 'float64' (default — reproduces the
+    pinned fixture numbers exactly) or 'float32' — the corpus-scale
+    path; the encoder forward/backward runs single-precision (the BPTT
+    matmuls are memory-bandwidth-bound; the float32 kernel isolate
+    measured 0.887 N->4N vs float64's 0.81 platform ceiling) while the
+    CRF lattice, loss sums, cross-partition accumulation, and the Adam
+    state all stay float64, so optimizer trajectories differ only at
+    single-precision rounding (tests pin the tolerance).
+
+    ``combine_above``: when the gold table has more partitions than
+    this, the per-partition gradient rows go through one intermediate
+    combine stage (8 combiners) before the driver collect — a two-level
+    tree reduce. At 1000 executors the flat collect would pull
+    1000 x ~320 KB to one socket; the combine caps driver fan-in at 8
+    rows while adding one tiny shuffle (the rows, not the data). Below
+    the threshold the flat collect is strictly faster (fewer stage
+    barriers per epoch — the synchronous term the scaling harness
+    measures).
     """
     from antnre_spark.encoder_grad import (
         ENC_PARAMS,
+        GCN_PARAMS,
         REL_PARAMS,
         batch_loss_grad,
         flatten_params,
         unflatten_params,
     )
 
+    np_dtype = np.float32 if dtype == "float32" else np.float64
     spark = gold.sparkSession
     sc = spark.sparkContext
-    shapes = {
-        k: tuple(np.asarray(weights[k]).shape) for k in ENC_PARAMS + REL_PARAMS
-    }
+    trained_keys = ENC_PARAMS + REL_PARAMS + (GCN_PARAMS if refine else ())
+    shapes = {k: tuple(np.asarray(weights[k]).shape) for k in trained_keys}
     frozen = {
         k: np.asarray(v)
         for k, v in weights.items()
-        if k not in ENC_PARAMS and k not in REL_PARAMS
+        if k not in trained_keys
     }
     vocab_bc = sc.broadcast(vocab)
     enc = flatten_params(weights, ENC_PARAMS)
     rel = flatten_params(weights, REL_PARAMS)
+    gcn = (
+        flatten_params(weights, GCN_PARAMS)
+        if refine
+        else np.zeros(0, dtype=np.float64)
+    )
     m_e, v_e = np.zeros_like(enc), np.zeros_like(enc)
     m_r, v_r = np.zeros_like(rel), np.zeros_like(rel)
+    m_g, v_g = np.zeros_like(gcn), np.zeros_like(gcn)
+    gcn_w = refine_weight if refine else 0.0
     history: list[dict] = []
     gold3 = gold.select("tokens", "ent_spans", "relations")
+    n_parts = gold3.rdd.getNumPartitions()
 
     for ep in range(1, epochs + 1):
         epoch_src = (
@@ -479,18 +558,21 @@ def fit_joint(
             if sample_fraction is not None
             else gold3
         )
-        w_bc = sc.broadcast((enc, rel))
+        w_bc = sc.broadcast((enc, rel, gcn))
 
         def step(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            e_flat, r_flat = w_bc.value
+            e_flat, r_flat, g_flat = w_bc.value
             ww = dict(
                 unflatten_params(e_flat, shapes, ENC_PARAMS),
                 **unflatten_params(r_flat, shapes, REL_PARAMS),
             )
+            if gcn_w > 0.0:
+                ww.update(unflatten_params(g_flat, shapes, GCN_PARAMS))
             acc_e = np.zeros_like(e_flat)
             acc_r = np.zeros_like(r_flat)
-            crf_s = rel_s = 0.0
-            nt_s = np_s = 0
+            acc_g = np.zeros_like(g_flat)
+            crf_s = rel_s = gcn_s = 0.0
+            nt_s = np_s = nn_s = 0
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -502,28 +584,44 @@ def fit_joint(
                 sents.sort(key=lambda s: len(s["tokens"]))
                 for lo in range(0, len(sents), sub_batch):
                     chunk = sents[lo : lo + sub_batch]
-                    ge, gr, cl, rl, nt, npair = batch_loss_grad(
-                        ww, vocab_bc.value, chunk, rel_weight=rel_weight
+                    ge, gr, gg, cl, rl, gl, nt, npair, nnode = batch_loss_grad(
+                        ww, vocab_bc.value, chunk,
+                        rel_weight=rel_weight, gcn_weight=gcn_w,
+                        dtype=np_dtype,
                     )
                     acc_e += ge
                     acc_r += gr
+                    if gcn_w > 0.0:
+                        acc_g += gg
                     crf_s += cl
                     rel_s += rl
+                    gcn_s += gl
                     nt_s += nt
                     np_s += npair
+                    nn_s += nnode
             if nt_s:
                 yield pd.DataFrame(
                     {
                         "enc": [acc_e.tolist()],
                         "rel": [acc_r.tolist()],
+                        "gcn": [acc_g.tolist()],
                         "crf": [crf_s],
                         "rell": [rel_s],
+                        "gcnl": [gcn_s],
                         "nt": [nt_s],
                         "npair": [np_s],
+                        "nnode": [nn_s],
                     }
                 )
 
-        rows = epoch_src.mapInPandas(step, JOINT_GRAD_SCHEMA).collect()
+        grad_df = epoch_src.mapInPandas(step, JOINT_GRAD_SCHEMA)
+        if n_parts > combine_above:
+            # two-level tree reduce: sum the per-partition rows in 8
+            # combiner tasks before the driver sees them (see docstring)
+            grad_df = grad_df.repartition(8).mapInPandas(
+                _sum_grad_rows, JOINT_GRAD_SCHEMA
+            )
+        rows = grad_df.collect()
         w_bc.unpersist()
         if not rows:
             if sample_fraction is not None:
@@ -534,16 +632,26 @@ def fit_joint(
             raise ValueError("no training sentences")
         nt = sum(r["nt"] for r in rows)
         npair = sum(r["npair"] for r in rows)
+        nnode = sum(r["nnode"] for r in rows)
         g_enc = np.sum([np.asarray(r["enc"]) for r in rows], axis=0) / nt
         crf_loss = sum(r["crf"] for r in rows) / nt
         rel_loss = (
             sum(r["rell"] for r in rows) / npair if npair else 0.0
         )
+        gcn_loss = (
+            sum(r["gcnl"] for r in rows) / nnode if nnode else 0.0
+        )
         enc, m_e, v_e = _adam_step(enc, g_enc, m_e, v_e, ep, lr)
         if rel_weight > 0.0 and npair:
             g_rel = np.sum([np.asarray(r["rel"]) for r in rows], axis=0) / npair
             rel, m_r, v_r = _adam_step(rel, g_rel, m_r, v_r, ep, lr)
-        history.append({"crf": round(crf_loss, 6), "rel": round(rel_loss, 6)})
+        if gcn_w > 0.0 and nnode:
+            g_gcn = np.sum([np.asarray(r["gcn"]) for r in rows], axis=0) / nnode
+            gcn, m_g, v_g = _adam_step(gcn, g_gcn, m_g, v_g, ep, lr)
+        hist_row = {"crf": round(crf_loss, 6), "rel": round(rel_loss, 6)}
+        if refine:
+            hist_row["gcn"] = round(gcn_loss, 6)
+        history.append(hist_row)
 
     from antnre_spark.encoder_grad import unflatten_params as _unf
 
@@ -557,6 +665,11 @@ def fit_joint(
             if rel_weight > 0.0
             else np.asarray(weights[k], dtype=np.float32)
         )
+    if refine:
+        from antnre_spark.encoder_grad import GCN_PARAMS as _GCN
+
+        for k, arr in _unf(gcn, shapes, _GCN).items():
+            out[k] = arr.astype(np.float32)
     vocab_bc.unpersist()
     return out, history
 
@@ -575,6 +688,7 @@ def fit_mrt(
     sub_batch: int = _TRAIN_SUB_BATCH,
     sample_fraction: float | None = None,
     seed: int = 0,
+    dtype: str = "float64",
 ) -> tuple[dict[str, np.ndarray], list[float]]:
     """Distributed MINIMUM-RISK training of the mention detector — the
     reference's EMNLP'18 signature objective (`[pub: entrel/train]`
@@ -589,7 +703,8 @@ def fit_mrt(
     from the degraded init (held-out F1 0.03), 10 epochs reach mean risk
     0.08 and held-out F1 0.995. In practice MRT shines as a FINE-TUNING
     stage after NLL training — it optimizes the actual task metric,
-    absorbing decode-time constraint interactions NLL cannot see."""
+    absorbing decode-time constraint interactions NLL cannot see.
+    ``dtype``: see fit_joint — 'float32' is the corpus-scale path."""
     from antnre_spark.encoder_grad import (
         ENC_PARAMS,
         batch_mrt_grad,
@@ -597,6 +712,7 @@ def fit_mrt(
         unflatten_params,
     )
 
+    np_dtype = np.float32 if dtype == "float32" else np.float64
     spark = gold.sparkSession
     sc = spark.sparkContext
     shapes = {k2: tuple(np.asarray(weights[k2]).shape) for k2 in ENC_PARAMS}
@@ -630,7 +746,7 @@ def fit_mrt(
                 for lo in range(0, len(sents), sub_batch):
                     g, r, n = batch_mrt_grad(
                         ww, vocab_bc.value, sents[lo : lo + sub_batch],
-                        k=k, alpha=alpha,
+                        k=k, alpha=alpha, dtype=np_dtype,
                     )
                     acc = g if acc is None else acc + g
                     risk_s += r
@@ -662,7 +778,10 @@ def fit_mrt(
 
 
 def mention_prf(
-    weights: dict[str, np.ndarray], vocab: dict[str, int], sentences: list[dict]
+    weights: dict[str, np.ndarray],
+    vocab: dict[str, int],
+    sentences: list[dict],
+    refine_types: bool = False,
 ) -> dict:
     """Exact-span entity micro-P/R/F1 of the INFERENCE path (Viterbi
     decode, nnmodel.extract) against gold spans. Driver-local — sized for
@@ -673,7 +792,8 @@ def mention_prf(
     model = AntNREModel(weights, vocab)
     tp = fp = fn = 0
     for (ments, _rels), s in zip(
-        model.extract([s["tokens"] for s in sentences]), sentences
+        model.extract([s["tokens"] for s in sentences], refine_types=refine_types),
+        sentences,
     ):
         pred = {(m.begin, m.end, m.ent_type) for m in ments}
         gold = set(s["spans"])
@@ -687,7 +807,10 @@ def mention_prf(
 
 
 def triple_prf(
-    weights: dict[str, np.ndarray], vocab: dict[str, int], sentences: list[dict]
+    weights: dict[str, np.ndarray],
+    vocab: dict[str, int],
+    sentences: list[dict],
+    refine_types: bool = False,
 ) -> dict:
     """(subj span, obj span, pred) micro-P/R/F1 of the full inference
     path (decode -> classify_relations with its priors) vs gold."""
@@ -696,7 +819,8 @@ def triple_prf(
     model = AntNREModel(weights, vocab)
     tp = fp = fn = 0
     for (ments, rels), s in zip(
-        model.extract([s["tokens"] for s in sentences]), sentences
+        model.extract([s["tokens"] for s in sentences], refine_types=refine_types),
+        sentences,
     ):
         pred = {
             (

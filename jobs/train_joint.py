@@ -89,6 +89,22 @@ def main() -> None:
         "k-best candidates — the reference's EMNLP'18-style objective)",
     )
     ap.add_argument("--mrt-k", type=int, default=5)
+    ap.add_argument(
+        "--refine",
+        action="store_true",
+        help="also train the F4 GCN type-refinement head on the gold "
+        "mention graph (fit_joint refine=True); held-out metrics are "
+        "then reported for refine_types=True inference as well",
+    )
+    ap.add_argument(
+        "--dtype",
+        choices=["float64", "float32"],
+        default="float64",
+        help="encoder forward/backward precision: float64 reproduces "
+        "the pinned fixture numbers; float32 is the corpus-scale path "
+        "(memory-bandwidth-bound BPTT, ~1.1x faster per epoch and "
+        "0.89 vs 0.81 N->4N kernel scaling on this class of box)",
+    )
     args = ap.parse_args()
     rel_weight = 0.0 if args.detector_only else args.rel_weight
 
@@ -124,6 +140,8 @@ def main() -> None:
         rel_weight=rel_weight,
         sample_fraction=args.sample_fraction,
         seed=args.seed,
+        refine=args.refine,
+        dtype=args.dtype,
     )
     mrt_history: list | None = None
     if args.mrt_epochs > 0:
@@ -136,6 +154,7 @@ def main() -> None:
             k=args.mrt_k,
             sample_fraction=args.sample_fraction,
             seed=args.seed,
+            dtype=args.dtype,
         )
     train_df.unpersist()
     np.savez(args.out, **trained)
@@ -149,12 +168,19 @@ def main() -> None:
         "crf_loss_last": history[-1]["crf"],
         "rel_loss_last": history[-1]["rel"],
     }
+    if args.refine:
+        report["gcn_loss_first"] = history[0]["gcn"]
+        report["gcn_loss_last"] = history[-1]["gcn"]
     if mrt_history is not None:
         report["mrt_risk_first"] = mrt_history[0]
         report["mrt_risk_last"] = mrt_history[-1]
     if heldout:
         report["heldout_mention"] = train.mention_prf(trained, vocab, heldout)
         report["heldout_triple"] = train.triple_prf(trained, vocab, heldout)
+        if args.refine:
+            report["heldout_triple_refined"] = train.triple_prf(
+                trained, vocab, heldout, refine_types=True
+            )
     print(json.dumps(report))
 
 

@@ -164,3 +164,45 @@ class TestMinimumRisk:
         assert history[-1] < 0.1 * history[0], history
         got = train.mention_prf(trained, vocab, heldout)["f1"]
         assert got >= 0.95 * base, (got, base, history)
+
+
+class TestGCNRefinement:
+    def test_refine_trains_the_gcn_head(self, gold_split, fixture_model):
+        """r5 verdict task 2 — the F4 GCN head was the last fixture-only
+        parameter set. From a degraded (random) head: (a) fit_joint(
+        refine=True) must collapse the GCN cross-entropy; (b) its model
+        evaluated WITH refine_types=True must beat the refine=False-
+        trained model carrying the same degraded head (which actively
+        flips types once the retrained encoder's hidden scale grows);
+        (c) refinement must cost the refined model almost nothing vs its
+        own plain-mode F1 (the trained head learns to agree with the
+        decoder except on graph evidence); (d) without refine, the gcn_*
+        arrays pass through untouched — inference defaults unchanged."""
+        train_df, heldout = gold_split
+        w, vocab = fixture_model
+        rng = np.random.default_rng(1)
+        wd = dict(w)
+        for k, sc in (("gcn_W", 1.0), ("gcn_type_W", 1.0), ("gcn_type_b", 0.5)):
+            wd[k] = (rng.standard_normal(w[k].shape) * sc).astype(np.float32)
+
+        plain, _hp = train.fit_joint(
+            train_df, wd, vocab, epochs=20, lr=0.05, rel_weight=1.0
+        )
+        refined, hr = train.fit_joint(
+            train_df, wd, vocab, epochs=20, lr=0.05, rel_weight=1.0,
+            refine=True,
+        )
+        # (a) GCN loss collapses
+        assert hr[-1]["gcn"] < 0.5 * hr[0]["gcn"], hr
+        # (d) non-refine run passes the degraded head through untouched
+        np.testing.assert_array_equal(plain["gcn_W"], wd["gcn_W"])
+        assert refined["gcn_W"].dtype == np.float32
+        assert not np.array_equal(refined["gcn_W"], wd["gcn_W"])
+        # (b) joint-with-refinement beats joint-without under
+        # refine_types=True inference (calibration: 0.97 vs 0.23)
+        f1_plain = train.triple_prf(plain, vocab, heldout, refine_types=True)["f1"]
+        f1_ref = train.triple_prf(refined, vocab, heldout, refine_types=True)["f1"]
+        assert f1_ref >= f1_plain + 0.3, (f1_ref, f1_plain)
+        # (c) refinement costs the refined model < 5% vs its plain mode
+        f1_ref_off = train.triple_prf(refined, vocab, heldout)["f1"]
+        assert f1_ref >= 0.95 * f1_ref_off, (f1_ref, f1_ref_off)

@@ -37,6 +37,7 @@ cores = int(os.environ["TS_CORES"])
 mult = int(os.environ["TS_MULT"])
 epochs = int(os.environ["TS_EPOCHS"])
 rel_weight = float(os.environ["TS_RELW"])
+dtype = os.environ.get("TS_DTYPE", "float32")
 spark = get_spark("train-scaling", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -50,9 +51,9 @@ with np.load(os.path.join({repo!r}, "fixtures/data/weights.npz")) as z:
 vocab = json.load(open(os.path.join({repo!r}, "fixtures/data/vocab.json")))
 
 # one warmup epoch (worker spin-up, Arrow codepaths), then timed epochs
-train.fit_joint(big, w, vocab, epochs=1, lr=0.05, rel_weight=rel_weight)
+train.fit_joint(big, w, vocab, epochs=1, lr=0.05, rel_weight=rel_weight, dtype=dtype)
 t0 = time.time()
-train.fit_joint(big, w, vocab, epochs=epochs, lr=0.05, rel_weight=rel_weight)
+train.fit_joint(big, w, vocab, epochs=epochs, lr=0.05, rel_weight=rel_weight, dtype=dtype)
 wall = time.time() - t0
 print(json.dumps({{"cores": cores, "sentences": n, "epochs": epochs,
                    "wall_sec": round(wall, 2),
@@ -61,7 +62,7 @@ spark.stop()
 """
 
 
-def run_once(cores: int, mult: int, epochs: int, rel_weight: float, repeats: int) -> dict:
+def run_once(cores: int, mult: int, epochs: int, rel_weight: float, repeats: int, dtype: str) -> dict:
     best = None
     for _ in range(repeats):
         env = dict(
@@ -70,6 +71,7 @@ def run_once(cores: int, mult: int, epochs: int, rel_weight: float, repeats: int
             TS_MULT=str(mult),
             TS_EPOCHS=str(epochs),
             TS_RELW=str(rel_weight),
+            TS_DTYPE=dtype,
         )
         out = subprocess.run(
             [sys.executable, "-c", _CHILD.format(repo=REPO)],
@@ -91,10 +93,18 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--rel-weight", type=float, default=1.0)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--dtype",
+        choices=["float64", "float32"],
+        default="float32",
+        help="encoder precision; float32 is the corpus-scale default "
+        "(r5 verdict task 3 — the float64 BPTT kernel caps at 0.81 "
+        "N->4N on this box, the float32 isolate at 0.887)",
+    )
     args = ap.parse_args()
     n, n4 = args.n, 4 * args.n
-    lo = run_once(n, args.mult, args.epochs, args.rel_weight, args.repeats)
-    hi = run_once(n4, args.mult, args.epochs, args.rel_weight, args.repeats)
+    lo = run_once(n, args.mult, args.epochs, args.rel_weight, args.repeats, args.dtype)
+    hi = run_once(n4, args.mult, args.epochs, args.rel_weight, args.repeats, args.dtype)
     eff = round(
         (lo["wall_sec"] / hi["wall_sec"]) / (n4 / n), 3
     )
@@ -102,6 +112,7 @@ def main() -> None:
         json.dumps(
             {
                 "query": "fit_joint_epoch",
+                "dtype": args.dtype,
                 "sentences": lo["sentences"],
                 "epochs": args.epochs,
                 f"local[{n}]_sec": lo["wall_sec"],

@@ -70,6 +70,10 @@ class MarkerStore:
     def committed(self, stage: str) -> set[str]:
         return {r["partition_key"] for r in self._rows() if r["stage"] == stage}
 
+    def rows(self, stage: str) -> list[dict]:
+        """All marker rows for one stage (resume-time model_hash checks)."""
+        return [r for r in self._rows() if r["stage"] == stage]
+
     def as_df(self, spark: SparkSession) -> DataFrame:
         rows = self._rows()
         for r in rows:

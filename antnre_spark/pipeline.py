@@ -87,6 +87,36 @@ def bucket_of(col: F.Column, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def register_model(out_root: str, weights_npz: str, note: str = "") -> str:
+    """Register a trained weights file under the pipeline output root
+    (r5 verdict task 8): copy it to <out_root>/models/<model_hash>.npz
+    and commit a stage='model' marker row carrying the hash — the same
+    sha256[:16] PipelineConfig computes — so extract/resume provenance
+    and the trained artifact live in one place. Returns the hash.
+
+    Content-addressed: re-registering identical bytes is a no-op
+    overwrite; the marker commit is atomic (MarkerStore tmp+rename)."""
+    with open(weights_npz, "rb") as f:
+        payload = f.read()
+    model_hash = hashlib.sha256(payload).hexdigest()[:16]
+    models_dir = os.path.join(out_root, "models")
+    os.makedirs(models_dir, exist_ok=True)
+    dst = os.path.join(models_dir, f"{model_hash}.npz")
+    tmp = dst + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, dst)
+    MarkerStore(os.path.join(out_root, "_markers")).commit(
+        stage="model",
+        partition_key=model_hash,
+        snapshot_id=note or os.path.basename(weights_npz),
+        input_rows=0,
+        output_rows=len(payload),
+        model_hash=model_hash,
+    )
+    return model_hash
+
+
 def extract_job(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -99,6 +129,32 @@ def extract_job(
     committed = markers.committed("extract") if resume else set()
     planned = buckets if buckets is not None else list(range(cfg.n_buckets))
     todo = [b for b in planned if str(b) not in committed]
+
+    # mixed-model resume guard (r5 verdict task 8): a resume that would
+    # extract NEW buckets with a different model than the committed ones
+    # produces a table whose mentions came from two models — silently
+    # inconsistent confidences/spans. Refuse; the caller either resumes
+    # with the original weights, or re-extracts everything (resume=False
+    # overwrites every bucket idempotently).
+    if resume and todo and committed and cfg.model_hash:
+        stale = sorted(
+            {
+                r["model_hash"]
+                for r in markers.rows("extract")
+                if r["partition_key"] in committed
+                and r["model_hash"]
+                and r["model_hash"] != cfg.model_hash
+            }
+        )
+        if stale:
+            raise RuntimeError(
+                f"mixed-model resume refused: buckets {sorted(committed)} "
+                f"were extracted with model {stale} but this run uses "
+                f"{cfg.model_hash}; pass resume=False to re-extract all "
+                f"buckets with the new model, or point cfg.weights_npz at "
+                f"the registered npz (see register_model / "
+                f"{cfg.out_root}/models/)"
+            )
 
     weights_bc, vocab_bc, model_key = extract.broadcast_model(
         spark, cfg.weights_npz, cfg.vocab_json

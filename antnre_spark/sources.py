@@ -145,3 +145,79 @@ def write_conll04(gold: DataFrame, path: str) -> int:
     with open(path, "w") as f:
         f.write("\n\n".join(blocks) + "\n")
     return len(rows)
+
+
+# ---------------------------------------------------------------------------
+# A3 (r5 verdict task 6): GloVe-format text embedding ingestion. The
+# reference initializes its word encoder from GloVe text files (`[pub:
+# word_encoder.py]` unverified — SURVEY.md §0); this engine's A3 loader
+# took npz fixtures only, the last I/O asymmetry for real-corpus use.
+
+
+def load_glove_embeddings(
+    path: str,
+    vocab: dict[str, int],
+    dim: int | None = None,
+) -> "np.ndarray":
+    """Parse a GloVe-format text file (``token v1 .. vd`` per line,
+    optionally .gz) into a float32 [len(vocab), d] matrix aligned to
+    ``vocab``'s ids — a drop-in replacement for the weights file's
+    ``word_emb`` array.
+
+    Policy (driver-local — embedding files are vocab-sized, not
+    corpus-sized; the CORPUS-scale object is the broadcast this feeds):
+    - tokens are matched lowercased (the vocab is lowercase);
+      first occurrence wins on duplicates;
+    - [PAD] (id 0) stays all-zero;
+    - [UNK] and every in-vocab token absent from the file get the MEAN
+      of the matched vectors (the standard OOV init — keeps them on the
+      data manifold instead of at the origin);
+    - ``dim`` pins the expected width; a mismatched line raises.
+    """
+    import gzip
+
+    import numpy as np
+
+    opener = gzip.open if path.endswith(".gz") else open
+    vecs: dict[int, np.ndarray] = {}
+    with opener(path, "rt", encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            parts = line.rstrip("\n").split(" ")
+            if len(parts) < 2:
+                continue
+            tok = parts[0].lower()
+            vid = vocab.get(tok)
+            if vid is None or vid in vecs:
+                continue
+            v = np.asarray(parts[1:], dtype=np.float32)
+            if dim is None:
+                dim = len(v)
+            elif len(v) != dim:
+                raise ValueError(
+                    f"{path}:{ln}: vector width {len(v)} != expected {dim}"
+                )
+            vecs[vid] = v
+    if not vecs:
+        raise ValueError(f"{path}: no vocab token found in embedding file")
+    out = np.zeros((len(vocab), dim), dtype=np.float32)
+    mean = np.mean(np.stack(list(vecs.values())), axis=0)
+    for tok, vid in vocab.items():
+        if tok == "[PAD]":
+            continue
+        out[vid] = vecs.get(vid, mean)
+    return out
+
+
+def write_glove_text(word_emb, vocab: dict[str, int], path: str) -> int:
+    """Inverse of load_glove_embeddings (fixture/round-trip tool): write
+    vocab tokens + vectors in GloVe text format. Skips [PAD]/[UNK]
+    (synthetic ids, not lexical tokens). Returns lines written."""
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for tok, vid in sorted(vocab.items(), key=lambda kv: kv[1]):
+            if tok in ("[PAD]", "[UNK]"):
+                continue
+            vec = " ".join(f"{x:.6g}" for x in word_emb[vid])
+            f.write(f"{tok} {vec}\n")
+            n += 1
+    return n

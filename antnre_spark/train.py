@@ -367,7 +367,12 @@ JOINT_GRAD_SCHEMA = (
     "enc array<double>, rel array<double>, gcn array<double>, "
     "crf double, rell double, gcnl double, nt long, npair long, nnode long"
 )
-_TRAIN_SUB_BATCH = 256  # sentences per padded forward (padding-waste cap)
+# sentences per padded forward. 512 is the measured bandwidth sweet spot
+# for the float32 BPTT path (r6: local[16] epoch throughput 28.3k ->
+# 38.7k sent-grads/s vs 256 — bigger B amortizes weight traffic across
+# rows where memory bandwidth saturates; 1024 regresses, padding waste
+# and cache pressure win). Length-sorting upstream bounds padding waste.
+_TRAIN_SUB_BATCH = 512
 
 
 def sentences_from_gold_rows(rows) -> list[dict]:
@@ -413,10 +418,12 @@ def _sum_grad_rows(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]
     for pdf in batches:
         for _i, r in pdf.iterrows():
             if acc is None:
+                # np.array (copy), NOT asarray: Arrow-backed rows are
+                # zero-copy read-only buffers, and acc is mutated below
                 acc = {
-                    "enc": np.asarray(r["enc"], dtype=np.float64),
-                    "rel": np.asarray(r["rel"], dtype=np.float64),
-                    "gcn": np.asarray(r["gcn"], dtype=np.float64),
+                    "enc": np.array(r["enc"], dtype=np.float64),
+                    "rel": np.array(r["rel"], dtype=np.float64),
+                    "gcn": np.array(r["gcn"], dtype=np.float64),
                     "crf": float(r["crf"]), "rell": float(r["rell"]),
                     "gcnl": float(r["gcnl"]), "nt": int(r["nt"]),
                     "npair": int(r["npair"]), "nnode": int(r["nnode"]),

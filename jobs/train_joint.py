@@ -66,6 +66,16 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=0.05)
     ap.add_argument("--rel-weight", type=float, default=1.0)
     ap.add_argument("--init", choices=["weights", "scratch"], default="scratch")
+    ap.add_argument(
+        "--glove",
+        default=None,
+        help="GloVe-format text file (optionally .gz): initialize "
+        "word_emb from it, vocab-aligned with the mean-vector OOV/UNK "
+        "policy (sources.load_glove_embeddings). Width must match the "
+        "weights file's word_emb (the LSTM input dim is shape-coupled). "
+        "Applied AFTER --init, so scratch runs still start from real "
+        "text embeddings — the reference's word-encoder init path",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--holdout-mod", type=int, default=5)
     ap.add_argument(
@@ -89,6 +99,15 @@ def main() -> None:
         "k-best candidates — the reference's EMNLP'18-style objective)",
     )
     ap.add_argument("--mrt-k", type=int, default=5)
+    ap.add_argument(
+        "--register",
+        default=None,
+        metavar="OUT_ROOT",
+        help="after training, register the written npz under this "
+        "pipeline output root: copies it to OUT_ROOT/models/<hash>.npz "
+        "and commits a stage='model' marker (pipeline.register_model) — "
+        "the hash extract_job's mixed-model resume guard checks",
+    )
     ap.add_argument(
         "--refine",
         action="store_true",
@@ -115,6 +134,13 @@ def main() -> None:
     with open(args.vocab) as f:
         vocab = json.load(f)
     init = _scratch_init(w, args.seed) if args.init == "scratch" else w
+    if args.glove:
+        from antnre_spark.sources import load_glove_embeddings
+
+        emb = load_glove_embeddings(
+            args.glove, vocab, dim=int(np.asarray(w["word_emb"]).shape[1])
+        )
+        init = dict(init, word_emb=emb)
 
     gold = spark.read.parquet(args.gold)
     heldout: list[dict] = []
@@ -158,12 +184,20 @@ def main() -> None:
         )
     train_df.unpersist()
     np.savez(args.out, **trained)
+    registered_hash = None
+    if args.register:
+        from antnre_spark.pipeline import register_model
+
+        registered_hash = register_model(
+            args.register, args.out, note=f"train_joint seed={args.seed}"
+        )
 
     report = {
         "n_train_sentences": n_train,
         "n_heldout_sentences": len(heldout),
         "epochs": args.epochs,
         "rel_weight": rel_weight,
+        "model_hash": registered_hash,
         "crf_loss_first": history[0]["crf"],
         "crf_loss_last": history[-1]["crf"],
         "rel_loss_last": history[-1]["rel"],

@@ -6,6 +6,8 @@ pipeline is a no-op with zero duplicate triples. Late-arriving turns
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -156,3 +158,55 @@ class TestCacheSweep:
         # and a resumed re-run (no-op buckets) is just as clean
         full_run(spark, transcripts_df, cfg)
         assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+class TestModelVersioning:
+    def test_mixed_model_resume_refused_and_registry(
+        self, spark, transcripts_df, fixture_paths, tmp_path
+    ):
+        """r5 verdict task 8: a resume that would extract NEW buckets
+        with a DIFFERENT model than the committed ones must refuse
+        (mentions from two models in one table are silently
+        inconsistent); resume=False re-extracts all idempotently; and
+        register_model parks the trained npz + a stage='model' marker
+        under the output root."""
+        import numpy as np
+
+        from antnre_spark.pipeline import PipelineConfig, extract_job, register_model
+
+        out = str(tmp_path / "mixed")
+        cfg = PipelineConfig(
+            out_root=out,
+            weights_npz=fixture_paths["weights"],
+            vocab_json=fixture_paths["vocab"],
+            n_buckets=2,
+        )
+        extract_job(spark, transcripts_df, cfg, buckets=[0])
+
+        # a different (valid) weights file -> different model_hash
+        with np.load(fixture_paths["weights"]) as z:
+            w = {k: z[k] for k in z.files}
+        w["emit_b"] = w["emit_b"] + np.float32(0.001)
+        npz2 = str(tmp_path / "weights_v2.npz")
+        np.savez(npz2, **w)
+        cfg2 = PipelineConfig(
+            out_root=out,
+            weights_npz=npz2,
+            vocab_json=fixture_paths["vocab"],
+            n_buckets=2,
+        )
+        assert cfg2.model_hash and cfg2.model_hash != cfg.model_hash
+        with pytest.raises(RuntimeError, match="mixed-model resume"):
+            extract_job(spark, transcripts_df, cfg2)  # bucket 1 still todo
+        # same model resumes fine; new model with resume=False re-extracts
+        stats = extract_job(spark, transcripts_df, cfg)
+        assert stats["buckets_run"] == 1
+        stats2 = extract_job(spark, transcripts_df, cfg2, resume=False)
+        assert stats2["buckets_run"] == 2
+
+        # registry: content-addressed npz + stage='model' marker
+        h = register_model(out, npz2, note="test")
+        assert h == cfg2.model_hash
+        assert os.path.exists(os.path.join(out, "models", f"{h}.npz"))
+        rows = cfg2.markers().rows("model")
+        assert [r["model_hash"] for r in rows] == [h]

@@ -206,3 +206,27 @@ class TestGCNRefinement:
         # (c) refinement costs the refined model < 5% vs its plain mode
         f1_ref_off = train.triple_prf(refined, vocab, heldout)["f1"]
         assert f1_ref >= 0.95 * f1_ref_off, (f1_ref, f1_ref_off)
+
+
+class TestTreeReduce:
+    def test_combine_stage_is_value_identical(self, gold_split, fixture_model):
+        """The two-level gradient reduce (fit_joint combine_above) must
+        be pure composition: training histories with and without the
+        combiner stage are identical — it only changes WHERE the
+        partial-row sums happen (8 combiner tasks vs the driver)."""
+        train_df, _heldout = gold_split
+        w, vocab = fixture_model
+        many = train_df.repartition(24).persist()
+        many.count()
+        try:
+            _t1, h_comb = train.fit_joint(
+                many, w, vocab, epochs=2, lr=0.05, rel_weight=1.0,
+                combine_above=16,
+            )
+            _t2, h_flat = train.fit_joint(
+                many, w, vocab, epochs=2, lr=0.05, rel_weight=1.0,
+                combine_above=10**9,
+            )
+        finally:
+            many.unpersist()
+        assert h_comb == h_flat, (h_comb, h_flat)

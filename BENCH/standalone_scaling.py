@@ -152,12 +152,98 @@ def measure(n_workers: int, input_path: str, warm_path: str) -> dict:
     }
 
 
+def measure_train(n_workers: int, mult: int, epochs: int, dtype: str) -> dict:
+    """Training-path twin of measure() (r6): fit_joint epochs over the
+    fixture gold replicated mult-x, on REAL separate executor JVMs.
+    This is the cleanest N-vs-4N evidence for the training path — in
+    local[K] mode the single JVM's I/O and Arrow threads spill past K
+    cores and soften the small-N baseline; a standalone worker hosts
+    one executor with exactly -c task slots."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from antnre_spark import train
+
+    workers = start_workers(n_workers)
+    try:
+        spark = cluster_session(n_workers * WORKER_CORES)
+        try:
+            gold = spark.read.parquet(
+                os.path.join(REPO, "fixtures/data/gold_annotations.parquet")
+            )
+            big = (
+                gold.crossJoin(spark.range(mult).select(F.col("id").alias("_rep")))
+                .repartition(4 * n_workers * WORKER_CORES)
+                .persist()
+            )
+            n = big.count()
+            with np.load(os.path.join(REPO, "fixtures/data/weights.npz")) as z:
+                w = {k: z[k] for k in z.files}
+            with open(os.path.join(REPO, "fixtures/data/vocab.json")) as f:
+                vocab = _json.load(f)
+            train.fit_joint(big, w, vocab, epochs=1, lr=0.05, rel_weight=1.0, dtype=dtype)
+            t0 = time.perf_counter()
+            train.fit_joint(big, w, vocab, epochs=epochs, lr=0.05, rel_weight=1.0, dtype=dtype)
+            wall = time.perf_counter() - t0
+        finally:
+            spark.stop()
+    finally:
+        stop(workers)
+    return {
+        "executors": n_workers,
+        "cores": n_workers * WORKER_CORES,
+        "sentences": n,
+        "epochs": epochs,
+        "wall_sec": round(wall, 3),
+        "sent_epochs_per_sec": round(n * epochs / wall, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--mult", type=int, default=16)
     ap.add_argument("--n", type=int, default=1, help="executors at the small size")
+    ap.add_argument(
+        "--train",
+        action="store_true",
+        help="measure the joint-training path (fit_joint epochs) instead "
+        "of kg_pipeline; --mult then replicates the fixture gold table",
+    )
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
+
+    if args.train:
+        master = start_master()
+        try:
+            lo = measure_train(args.n, args.mult, args.epochs, args.dtype)
+            hi = measure_train(4 * args.n, args.mult, args.epochs, args.dtype)
+        finally:
+            stop([master])
+        eff = hi["sent_epochs_per_sec"] / (4 * lo["sent_epochs_per_sec"])
+        report = {
+            "mode": "standalone-cluster (separate executor JVMs)",
+            "query": "fit_joint_epoch",
+            "dtype": args.dtype,
+            "N_executors": lo,
+            "4N_executors": hi,
+            "scaling_efficiency": round(eff, 3),
+            "pass": eff >= 0.8,
+            "measured_at": datetime.now(timezone.utc).isoformat(),
+        }
+        print(json.dumps(report, indent=2))
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(
+                f"\n| fit_joint (standalone, {args.dtype}) | {lo['executors']} executor x{WORKER_CORES}c "
+                f"| {lo['sentences']}x{args.epochs}ep | {lo['wall_sec']} | {lo['sent_epochs_per_sec']}/s |\n"
+                f"| fit_joint (standalone, {args.dtype}) | {hi['executors']} executors x{WORKER_CORES}c "
+                f"| {hi['sentences']}x{args.epochs}ep | {hi['wall_sec']} | {hi['sent_epochs_per_sec']}/s |\n"
+                f"| **training efficiency (N vs 4N executors)** | — | — | — | **{round(eff,3)}** |\n"
+            )
+        return
 
     input_path, warm_path = prepare_inputs(args.sf, args.mult)
     master = start_master()

@@ -190,17 +190,24 @@ class IcebergTable:
         retention rule, matching IceLite.expire_snapshots semantics
         (r5 self-review finding).
 
-        ``current_timestamp()`` is evaluated server-side IN the CALL, so
-        no session-timezone conversion can skew it: a driver-formatted
-        UTC string in a zone-less TIMESTAMP literal would be re-read in
-        spark.sql.session.timeZone, landing the cutoff hours in the past
-        in any UTC+X session and silently retaining young snapshots
-        beyond retain_last (r5 ADVICE finding)."""
+        The cutoff is a zone-EXPLICIT ``TIMESTAMP '...+00:00'`` literal:
+        a zone-less literal is re-read in spark.sql.session.timeZone,
+        landing the cutoff hours in the past in any UTC+X session and
+        silently retaining young snapshots beyond retain_last (r5 ADVICE
+        finding). It cannot be ``current_timestamp()`` either — Iceberg's
+        SQL-extension grammar accepts only constants (number / string /
+        typed literal) as CALL arguments, so a function call is a
+        ParseException against a real catalog (r6 review finding); the
+        typed literal with an explicit offset is both grammar-legal and
+        timezone-proof."""
+        from datetime import datetime, timezone as _tz
+
+        cutoff = datetime.now(_tz.utc).strftime("%Y-%m-%d %H:%M:%S+00:00")
         catalog = self.identifier.split(".", 1)[0]
         rows = self._sql(
             f"CALL {catalog}.system.expire_snapshots("
             f"table => '{self.identifier}', "
-            f"older_than => current_timestamp(), "
+            f"older_than => TIMESTAMP '{cutoff}', "
             f"retain_last => {keep_last})"
         ).collect()
         r = rows[0] if rows else None

@@ -5,8 +5,12 @@ Mirrors the four Iceberg operations the pipeline needs — load, append,
 overwrite_partitions, incremental read — over parquet + JSON manifests:
 
   table/
-    data/snap-<n>/[pcol=val/...]part-*.parquet     immutable data files
-    manifests/snap-<n>.json                        snapshot manifest
+    data/snap-<n>-<writer>/[pcol=val/...]part-*.parquet  immutable data
+    manifests/snap-<n>.json                              snapshot manifest
+
+(<writer> is a per-write unique token: two writers racing to the same
+snapshot id never touch each other's files — only the manifest link is
+contended, and exactly one wins it.)
 
 A snapshot manifest lists every live file (path relative to the table root,
 row count, partition values parsed from the path) plus the parent snapshot
@@ -27,6 +31,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -74,7 +79,13 @@ class IceLite:
             "total_rows": sum(f["rows"] for f in files),
             "committed_at_unix": int(time.time()),
         }
-        tmp = os.path.join(self.manifest_dir, f".tmp-snap-{snap}.json")
+        # writer-UNIQUE tmp name: two racers writing `.tmp-snap-N.json`
+        # would truncate each other mid-dump and the surviving os.link
+        # could publish a torn manifest — uniqueness confines the race to
+        # the single os.link below.
+        tmp = os.path.join(
+            self.manifest_dir, f".tmp-snap-{snap}-{uuid.uuid4().hex[:8]}.json"
+        )
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=0, sort_keys=True)
         final = os.path.join(self.manifest_dir, f"snap-{snap}.json")
@@ -105,9 +116,15 @@ class IceLite:
     def _write_files(
         self, df: DataFrame, snap: int, partition_by: list[str] | None
     ) -> list[dict]:
-        """Write df under data/snap-<n>/ and return manifest file entries."""
-        out_dir = os.path.join(self.data_dir, f"snap-{snap}")
-        tmp_dir = os.path.join(self.data_dir, f".tmp-snap-{snap}")
+        """Write df under a writer-unique data/snap-<n>-<writer>/ dir and
+        return manifest file entries. Uniqueness means a concurrent writer
+        targeting the same snapshot id can never rmtree/rename over this
+        writer's in-flight files; a loser's orphaned dir is unreferenced
+        by every kept manifest, so expire_snapshots() garbage-collects it
+        (readers resolve paths only through manifests, never by listing)."""
+        snap_dir = f"snap-{snap}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.data_dir, snap_dir)
+        tmp_dir = os.path.join(self.data_dir, f".tmp-{snap_dir}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -127,7 +144,7 @@ class IceLite:
                         partitions[col] = val
                 files.append(
                     {
-                        "path": os.path.join(f"snap-{snap}", rel_in_snap),
+                        "path": os.path.join(snap_dir, rel_in_snap),
                         "rows": pq.read_metadata(full).num_rows,
                         "partitions": partitions,
                     }
@@ -135,12 +152,26 @@ class IceLite:
         os.rename(tmp_dir, out_dir)
         return files
 
+    def _commit_or_clean(
+        self, files: list[dict], parent: int | None, op: str,
+        new_files: list[dict],
+    ) -> int:
+        """_commit, but on losing the snapshot race also rmtree the data
+        dir this writer just published (it is unreferenced and the caller
+        will re-write on retry) so the loser leaves no litter behind."""
+        try:
+            return self._commit(files, parent, op)
+        except ConcurrentCommitError:
+            for d in {f["path"].split(os.sep)[0] for f in new_files}:
+                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+            raise
+
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         parent = self.current_snapshot()
         snap = (parent if parent is not None else -1) + 1
         new_files = self._write_files(df, snap, partition_by)
         live = self.manifest(parent)["files"] if parent is not None else []
-        return self._commit(live + new_files, parent, "append")
+        return self._commit_or_clean(live + new_files, parent, "append", new_files)
 
     def overwrite_partitions(
         self, df: DataFrame, partition_by: list[str]
@@ -160,7 +191,9 @@ class IceLite:
             for f in live
             if tuple(sorted(f["partitions"].items())) not in replaced
         ]
-        return self._commit(kept + new_files, parent, "overwrite_partitions")
+        return self._commit_or_clean(
+            kept + new_files, parent, "overwrite_partitions", new_files
+        )
 
     # ---- maintenance (r4 verdict task 8) --------------------------------
 
@@ -219,7 +252,7 @@ class IceLite:
             for f in live
             if tuple(sorted(f["partitions"].items())) not in targets
         ]
-        self._commit(kept + new_files, parent, "compact")
+        self._commit_or_clean(kept + new_files, parent, "compact", new_files)
         return {
             "compacted_partitions": len(targets),
             "files_before": len(live),

@@ -363,9 +363,21 @@ def pair_feature_frame(
 # + Adam step; gradients (~40k float64 ≈ 320 KB/partition), never
 # features or activations, cross the wire — executor-count-independent.
 
-JOINT_GRAD_SCHEMA = (
-    "enc array<double>, rel array<double>, gcn array<double>, "
-    "crf double, rell double, gcnl double, nt long, npair long, nnode long"
+# single source of truth for the gradient-row layout: the schema and
+# the tree-reduce combiner (_sum_grad_rows) both derive from these
+# three tuples. The emit site (fit_joint.step) and the driver all-reduce
+# keep literal names — a field missing THERE fails loudly (Arrow schema
+# validation / KeyError at every partition count), whereas a field
+# missed only in the combiner would silently drop gradients ONLY above
+# combine_above partitions, i.e. only at scale, where tests don't run
+# (r6 review). The tuples close exactly that silent path.
+_GRAD_ARRAY_FIELDS = ("enc", "rel", "gcn")  # flat grads, element-wise sum
+_GRAD_SCALAR_FIELDS = ("crf", "rell", "gcnl")  # loss sums
+_GRAD_COUNT_FIELDS = ("nt", "npair", "nnode")  # denominators
+JOINT_GRAD_SCHEMA = ", ".join(
+    [f"{f} array<double>" for f in _GRAD_ARRAY_FIELDS]
+    + [f"{f} double" for f in _GRAD_SCALAR_FIELDS]
+    + [f"{f} long" for f in _GRAD_COUNT_FIELDS]
 )
 # sentences per padded forward. 512 is the measured bandwidth sweet spot
 # for the float32 BPTT path (r6: local[16] epoch throughput 28.3k ->
@@ -414,39 +426,34 @@ def _sum_grad_rows(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]
     """Combiner stage of the two-level gradient reduce: element-wise sum
     of JOINT_GRAD_SCHEMA rows within a partition. Pure addition — the
     same composition rule the driver applies, just one level earlier."""
-    acc = None
+    acc: dict | None = None
     for pdf in batches:
         for _i, r in pdf.iterrows():
             if acc is None:
                 # np.array (copy), NOT asarray: Arrow-backed rows are
                 # zero-copy read-only buffers, and acc is mutated below
                 acc = {
-                    "enc": np.array(r["enc"], dtype=np.float64),
-                    "rel": np.array(r["rel"], dtype=np.float64),
-                    "gcn": np.array(r["gcn"], dtype=np.float64),
-                    "crf": float(r["crf"]), "rell": float(r["rell"]),
-                    "gcnl": float(r["gcnl"]), "nt": int(r["nt"]),
-                    "npair": int(r["npair"]), "nnode": int(r["nnode"]),
+                    f: np.array(r[f], dtype=np.float64)
+                    for f in _GRAD_ARRAY_FIELDS
                 }
+                acc.update({f: float(r[f]) for f in _GRAD_SCALAR_FIELDS})
+                acc.update({f: int(r[f]) for f in _GRAD_COUNT_FIELDS})
             else:
-                acc["enc"] += np.asarray(r["enc"], dtype=np.float64)
-                acc["rel"] += np.asarray(r["rel"], dtype=np.float64)
-                acc["gcn"] += np.asarray(r["gcn"], dtype=np.float64)
-                acc["crf"] += float(r["crf"])
-                acc["rell"] += float(r["rell"])
-                acc["gcnl"] += float(r["gcnl"])
-                acc["nt"] += int(r["nt"])
-                acc["npair"] += int(r["npair"])
-                acc["nnode"] += int(r["nnode"])
+                for f in _GRAD_ARRAY_FIELDS:
+                    acc[f] += np.asarray(r[f], dtype=np.float64)
+                for f in _GRAD_SCALAR_FIELDS:
+                    acc[f] += float(r[f])
+                for f in _GRAD_COUNT_FIELDS:
+                    acc[f] += int(r[f])
     if acc is not None:
         yield pd.DataFrame(
             {
-                "enc": [acc["enc"].tolist()],
-                "rel": [acc["rel"].tolist()],
-                "gcn": [acc["gcn"].tolist()],
-                "crf": [acc["crf"]], "rell": [acc["rell"]],
-                "gcnl": [acc["gcnl"]], "nt": [acc["nt"]],
-                "npair": [acc["npair"]], "nnode": [acc["nnode"]],
+                f: [acc[f].tolist() if f in _GRAD_ARRAY_FIELDS else acc[f]]
+                for f in (
+                    _GRAD_ARRAY_FIELDS
+                    + _GRAD_SCALAR_FIELDS
+                    + _GRAD_COUNT_FIELDS
+                )
             }
         )
 

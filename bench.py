@@ -218,11 +218,10 @@ def main() -> None:
         from antnre_spark import streaming
         from antnre_spark.icelite import IceLite
 
+        # drop_dir prep lives in prepare_kg_stream_input (untimed setup,
+        # called before the timing loop): a first-ever run would otherwise
+        # charge a full input rewrite to the stream row (r6 review)
         drop_dir = f"{path}_drops4"
-        if not os.path.exists(os.path.join(drop_dir, "_SUCCESS")):
-            spark_.read.parquet(path).repartition(4).write.mode(
-                "overwrite"
-            ).parquet(drop_dir)
         work = tempfile.mkdtemp(prefix="kg_stream_bench_")
         out_root = os.path.join(work, "kg")
         q = streaming.start_kg_stream(
@@ -239,9 +238,22 @@ def main() -> None:
         streaming.materialize_kg_stream(
             spark_, streaming.kg_stream_tables(out_root)
         )
-        triples = IceLite(os.path.join(out_root, "triples_stream")).load(spark_)
-        shutil.rmtree(os.path.join(work, "ck"), ignore_errors=True)
-        return triples
+        n_triples = (
+            IceLite(os.path.join(out_root, "triples_stream")).load(spark_).count()
+        )
+        # the whole work dir (6 IceLite tables + checkpoint over the full
+        # input) goes — leaving it leaked /tmp per bench run (r6 review);
+        # a row-count-preserving range() keeps the harness's .count()
+        # contract without referencing the removed files
+        shutil.rmtree(work, ignore_errors=True)
+        return spark_.range(n_triples)
+
+    def prepare_kg_stream_input(path=input_path):
+        drop_dir = f"{path}_drops4"
+        if not os.path.exists(os.path.join(drop_dir, "_SUCCESS")):
+            spark.read.parquet(path).repartition(4).write.mode(
+                "overwrite"
+            ).parquet(drop_dir)
 
     def dd_minhash_cands_only(spark_, sf_dir_):
         """Candidate GENERATION only (signature UDF + band self-join).
@@ -322,6 +334,10 @@ def main() -> None:
     if only:
         names = only.split(",")
         headline = {n: {**headline, **extras}[n] for n in names}
+
+    # untimed setup for the stream row's 4-file drop directory
+    if "kg_stream" in headline:
+        prepare_kg_stream_input()
 
     # count the input turns once for the turns/sec headline metric
     n_turns = spark.read.parquet(input_path).count()

@@ -36,13 +36,25 @@ from antnre_spark.encoder_grad import ENC_PARAMS, REL_PARAMS  # noqa: E402
 from antnre_spark.session import get_spark  # noqa: E402
 
 
-def _scratch_init(w: dict[str, np.ndarray], seed: int) -> dict[str, np.ndarray]:
+def _scratch_init(
+    w: dict[str, np.ndarray], seed: int, refine: bool = False
+) -> dict[str, np.ndarray]:
     """Seeded random re-init of every trainable array (shapes from the
-    given file); frozen priors (rel_pair_bias / rel_trig / gcn_*) keep
-    their values — they are inference-time priors, not learned here."""
+    given file). Frozen priors (rel_pair_bias / rel_trig) keep their
+    values — they are inference-time priors, not learned here. gcn_* is
+    re-initialized ONLY when ``refine`` (it trains then); without
+    --refine the fixture head is kept verbatim so refine_types=True
+    inference on a scratch-trained model still has a working prior
+    (r6 review: scratch+refine previously warm-started from the fixture
+    head, contradicting the from-scratch contract)."""
     rng = np.random.default_rng(seed)
     out = dict(w)
-    for k in ENC_PARAMS + REL_PARAMS:
+    trained = ENC_PARAMS + REL_PARAMS
+    if refine:
+        from antnre_spark.encoder_grad import GCN_PARAMS
+
+        trained = trained + GCN_PARAMS
+    for k in trained:
         a = np.asarray(w[k])
         if k.endswith("_b") or k == "gaz_emis":
             out[k] = np.zeros_like(a)
@@ -133,7 +145,11 @@ def main() -> None:
         w = {k: z[k] for k in z.files}
     with open(args.vocab) as f:
         vocab = json.load(f)
-    init = _scratch_init(w, args.seed) if args.init == "scratch" else w
+    init = (
+        _scratch_init(w, args.seed, refine=args.refine)
+        if args.init == "scratch"
+        else w
+    )
     if args.glove:
         from antnre_spark.sources import load_glove_embeddings
 

@@ -6,6 +6,7 @@ options, snapshots-metadata SQL — plus the flag-guarded factory."""
 
 from __future__ import annotations
 
+import re
 from unittest.mock import MagicMock
 
 import pytest
@@ -229,20 +230,31 @@ class TestMaintenanceSurface:
         """Iceberg's default older_than = now()-5d would make a daily
         maintenance job expire NOTHING; the adapter must pass an explicit
         older_than so retain_last is the only retention rule (r5
-        self-review). It must be server-evaluated current_timestamp(),
-        not a driver-formatted zone-less literal, which a UTC+X session
-        would re-read hours in the past (r5 ADVICE)."""
+        self-review). It must be a CONSTANT typed literal — Iceberg's
+        CALL grammar rejects function calls like current_timestamp()
+        (r6 review) — carrying an EXPLICIT zone offset so a UTC+X
+        session cannot re-read it hours in the past (r5 ADVICE)."""
+        from datetime import datetime, timezone
+
         t, _spark = make_table(snapshots=((1, 10),))
         row = {"deleted_data_files_count": 4}
         t._sql = MagicMock(
             return_value=MagicMock(collect=MagicMock(return_value=[row]))
         )
         t.snapshots = MagicMock(return_value=[1])
+        before = datetime.now(timezone.utc).replace(microsecond=0)
         rep = t.expire_snapshots(keep_last=2)
+        after = datetime.now(timezone.utc).replace(microsecond=0)
         sql = t._sql.call_args[0][0]
         assert "CALL cat.system.expire_snapshots" in sql
-        assert "older_than => current_timestamp()" in sql
-        assert "TIMESTAMP '" not in sql
+        # constant typed literal, not a (grammar-illegal) function call
+        assert "current_timestamp()" not in sql
+        m = re.search(r"older_than => TIMESTAMP '([^']+)\+00:00'", sql)
+        assert m, sql
+        cutoff = datetime.strptime(m.group(1), "%Y-%m-%d %H:%M:%S").replace(
+            tzinfo=timezone.utc
+        )
+        assert before <= cutoff <= after  # pinned to NOW, in UTC
         assert "retain_last => 2" in sql
         assert rep["deleted_data_files_count"] == 4
 

@@ -102,6 +102,28 @@ class TestAtomicity:
             n for n in os.listdir(table.manifest_dir) if n.startswith(".tmp")
         ]
 
+    def test_losing_writer_cannot_touch_winner_data(self, spark, table):
+        """The full data-level race (r6 review): both writers derive snap
+        id 1, BOTH write their data files (writer-unique dirs mean neither
+        rmtrees/renames over the other), the loser's commit raises and its
+        orphaned data dir is cleaned; the winner's rows stay intact."""
+        from antnre_spark.icelite import ConcurrentCommitError
+
+        table.append(df_of(spark, [(1, "a", 10)]), ["part"])  # snap 0
+        parent = table.current_snapshot()
+        table.append(df_of(spark, [(2, "b", 20)]), ["part"])  # winner snap 1
+        loser_files = table._write_files(
+            df_of(spark, [(3, "c", 30)]), 1, ["part"]
+        )
+        loser_dir = loser_files[0]["path"].split(os.sep)[0]
+        assert os.path.isdir(os.path.join(table.data_dir, loser_dir))
+        with pytest.raises(ConcurrentCommitError):
+            table._commit_or_clean(loser_files, parent, "append", loser_files)
+        # loser's published-but-uncommitted data dir got cleaned up
+        assert not os.path.isdir(os.path.join(table.data_dir, loser_dir))
+        # winner's table is exactly as committed
+        assert sorted(r["part"] for r in table.load(spark).collect()) == ["a", "b"]
+
 
 class TestMaintenance:
     """r4 verdict task 8: small-file compaction + snapshot expiry."""

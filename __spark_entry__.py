@@ -719,6 +719,97 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+# ---- graph analytics: PageRank over the geo entity graph (r6) -----------
+
+def q_gr_pagerank(spark, sf_dir):
+    """Distributed PageRank (antnre_spark/graph.py — the same fixpoint
+    loop the KG analytics run over materialized triples) on a natural
+    directed graph from the test tables: customer->nation,
+    supplier->nation, nation->region (namespaced string vertex ids).
+    Fixed 3 iterations so the DuckDB twin can unroll them as CTE
+    levels; damping written as (1.0-0.85) in BOTH engines so the
+    teleport constant is bit-identical before the 6-dp round."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.graph import pagerank
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = (
+        c.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(
+                    F.lit("n"), F.col("s_nationkey").cast("string")
+                ).alias("dst"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(
+                    F.lit("n"), F.col("n_nationkey").cast("string")
+                ).alias("src"),
+                F.concat(
+                    F.lit("r"), F.col("n_regionkey").cast("string")
+                ).alias("dst"),
+            )
+        )
+    )
+    return pagerank(edges, iterations=3, damping=0.85).select(
+        "vertex", F.round("rank", 6).alias("rank")
+    )
+
+
+def _sql_pagerank_iter(i: int) -> str:
+    """One unrolled PageRank step as CTE fragments (same formula shape
+    as graph.pagerank: teleport + damped(contribs + dangling/N))."""
+    p = i - 1
+    return f"""
+d{i} AS (SELECT coalesce(sum(r.rank), 0) AS m
+         FROM r{p} r LEFT JOIN deg g ON r.v = g.src WHERE g.src IS NULL),
+s{i} AS (SELECT e.dst AS v, sum(r.rank / g.outdeg) AS s
+         FROM edges e JOIN r{p} r ON e.src = r.v JOIN deg g ON e.src = g.src
+         GROUP BY e.dst),
+r{i} AS (SELECT t.v,
+                (1.0 - 0.85) / (SELECT n FROM nv)
+                + 0.85 * (coalesce(s.s, 0)
+                          + (SELECT m FROM d{i}) / (SELECT n FROM nv)) AS rank
+         FROM verts t LEFT JOIN s{i} s ON t.v = s.v)"""
+
+
+SQL_GR_PAGERANK = (
+    """
+WITH edges AS (
+  SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer
+  UNION ALL
+  SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS rank FROM verts),"""
+    + ",".join(_sql_pagerank_iter(i) for i in (1, 2, 3))
+    + """
+SELECT v AS vertex, round(rank, 6) AS rank FROM r3
+"""
+)
+
+
 # ---- K: scalar function families ----------------------------------------
 
 def q_k_string_math_funcs(spark, sf_dir):
@@ -768,27 +859,17 @@ FROM customer GROUP BY 1, 2, 3
 """
 
 
-def q_k_datetime(spark, sf_dir):
-    return (
-        _ev(spark, sf_dir)
-        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
-        .agg(F.count("*").alias("n_events"))
-    )
-
-
-SQL_K_DATETIME = """
-SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n_events
-FROM events GROUP BY 1
-"""
-
-
 def q_k_json_map(spark, sf_dir):
-    """Map/JSON family closure (SURVEY.md §2 K.map/json, merged r3 from
-    the former k_json + k_map_funcs demos — same functions, one row):
-    get_json_object, from_json -> map, map_entries -> transform ->
-    map_from_entries (value rewrite), map_keys, element_at. The DuckDB
-    twin reads the same facts straight from the JSON (json_keys /
-    json_extract_string)."""
+    """Map/JSON + datetime family closure (SURVEY.md §2 K.map/json and
+    K.datetime; merged r3 from the former k_json + k_map_funcs demos,
+    r6 folds in the former k_datetime row — same functions, one row,
+    freeing a 50-cap slot for gr_pagerank): get_json_object, from_json
+    -> map, map_entries -> transform -> map_from_entries (value
+    rewrite), map_keys, element_at; date_trunc/date_format (day and
+    hour grain) and numeric day-of-week (Spark dayofweek is 1=Sunday,
+    DuckDB's %w is 0=Sunday — the -1 aligns them). The DuckDB twin
+    reads the same facts straight from the JSON (json_keys /
+    json_extract_string) and strftime."""
     ev = _ev(spark, sf_dir).withColumn(
         "m", F.from_json("props", "map<string,int>")
     )
@@ -806,6 +887,9 @@ def q_k_json_map(spark, sf_dir):
         F.size("m").alias("n_keys"),
         F.concat_ws(",", F.map_keys("m")).alias("keys"),
         F.element_at(doubled, "k").alias("k2"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "HH").alias("hh"),
+        (F.dayofweek("ts") - F.lit(1)).alias("dow"),
     )
 
 
@@ -814,7 +898,10 @@ SELECT event_id,
        json_extract_string(props, '$.k')::INT AS k,
        len(json_keys(props))::INT AS n_keys,
        array_to_string(json_keys(props), ',') AS keys,
-       json_extract_string(props, '$.k')::INT * 2 AS k2
+       json_extract_string(props, '$.k')::INT * 2 AS k2,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '%H') AS hh,
+       strftime(ts, '%w')::INT AS dow
 FROM events
 """
 
@@ -2223,8 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i_broadcast_join": q_i_broadcast_join,
         "i_asof_join": q_i_asof_join,
         "h_rollup": q_h_rollup,
+        "gr_pagerank": q_gr_pagerank,
         "k_string_math_funcs": q_k_string_math_funcs,
-        "k_datetime": q_k_datetime,
         "k_json_map": q_k_json_map,
         "k_array_funcs": q_k_array_funcs,
         "tr_pair_features": q_tr_pair_features,
@@ -2328,8 +2415,8 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "i_broadcast_join": SQL_I_BROADCAST,
         "i_asof_join": SQL_I_ASOF,
         "h_rollup": SQL_H_ROLLUP,
+        "gr_pagerank": SQL_GR_PAGERANK,
         "k_string_math_funcs": SQL_K_STRING_MATH,
-        "k_datetime": SQL_K_DATETIME,
         "k_json_map": SQL_K_JSON_MAP,
         "k_array_funcs": SQL_K_ARRAY,
         "d1_sentence_count": SQL_D1,

@@ -1,0 +1,231 @@
+"""Graph analytics over the materialized knowledge graph.
+
+The pipeline materializes the KG as vertex/edge tables
+(``materialize.py``: triples with subj/obj entity ids); the natural
+follow-on questions — which entities are structurally important
+(PageRank), what is the densely-connected core (k-core), what lies
+within n hops of a seed set (neighborhood expansion) — are iterative
+graph computations. This module expresses them as DataFrame fixpoint
+loops, the same execution shape as ``link.connected_components``:
+
+* every iteration is a shuffle-bounded join + aggregation on the edge
+  relation (no driver-side adjacency, no ``collect()`` of vertices or
+  edges — only bounded scalar actions: one O(1) aggregate per
+  iteration for dangling mass / convergence checks, exactly like the
+  CC loop's fingerprint);
+* lineage is truncated every iteration via ``link._cut_lineage``
+  (localCheckpoint on local mode, reliable ``checkpoint()`` when a
+  checkpoint dir is configured — see that docstring for the executor-
+  loss trade-off at cluster scale);
+* the static edge relation is prepared ONCE (out-degrees joined,
+  persisted) and re-read by every iteration, so the per-iteration cost
+  is one shuffle on ``dst`` — hot destination vertices (hubs) are the
+  classic skew case and are handled by AQE skew-join plus the fact
+  that the aggregation is partial (map-side combine) before the
+  exchange.
+
+Algorithms are the standard public formulations: PageRank with
+uniform teleport and dangling-mass redistribution [pub: Brin & Page
+1998]; k-core by iterated degree peeling [pub: Matula & Beck 1983];
+n-hop frontier expansion is plain BFS with a visited anti-join.
+
+Scale posture (100 TB KG, |E| >> |V|): ranks/degrees are per-vertex
+tables — orders of magnitude smaller than edges — so the per-iteration
+``edges JOIN ranks ON src`` is the only big shuffle; with edges
+bucketed by ``src`` at write time the join co-locates and only the
+``groupBy(dst)`` exchange remains. Iteration counts are small
+constants (PageRank 10-20, k-core/BFS bounded by graph diameter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .link import _cut_lineage
+
+
+def kg_edges(triples: DataFrame) -> DataFrame:
+    """Entity-level directed edge list (src, dst) from the materialized
+    triples table (subj_id -> obj_id), one row per distinct pair.
+
+    ``distinct()`` collapses parallel edges (multiple predicates /
+    evidence between the same pair) so the analytics below weigh
+    structure, not predicate multiplicity; keep the raw triples table
+    when multiplicity matters.
+    """
+    return (
+        triples.select(
+            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids appearing at either endpoint (column ``v``)."""
+    return (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Power-iteration PageRank over a (src, dst) edge DataFrame.
+
+    Returns (vertex, rank) for every vertex, with sum(rank) == 1 up to
+    float error. Fixed iteration count (the caller picks convergence
+    depth); uniform teleport ``(1-d)/N``; the rank mass of dangling
+    vertices (no out-edges) is redistributed uniformly each step, so
+    mass is conserved exactly as in the public formulation.
+
+    Execution shape per iteration: one join of the prepared edge
+    relation (out-degree attached, persisted once) with the current
+    rank vector on ``src``, one map-side-combined ``groupBy(dst)``,
+    one left join back onto the vertex set, plus ONE bounded scalar
+    action (the dangling-mass sum — a single double to the driver,
+    the same bounded-collect class as the CC loop's fingerprint).
+    """
+    verts = _cut_lineage(vertices(edges))
+    n = verts.count()  # bounded scalar: one long
+    if n == 0:
+        return verts.select(
+            F.col("v").alias("vertex"), F.lit(0.0).alias("rank")
+        )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # static across iterations: prepare once, persist, reuse
+    edges_w = edges.join(deg, "src").persist()
+    dangling = None
+    try:
+        edges_w.count()  # materialize before the loop times anything
+        ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
+        # vertices with no out-edges, computed once (static set)
+        dangling = verts.join(
+            deg, verts["v"] == deg["src"], "left_anti"
+        ).persist()
+        for i in range(iterations):
+            dm_row = (
+                ranks.join(dangling, "v", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()
+            )
+            dm = float(dm_row[0])
+            contribs = (
+                edges_w.join(ranks, edges_w["src"] == ranks["v"])
+                .select(
+                    "dst", (F.col("rank") / F.col("outdeg")).alias("c")
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = verts.join(
+                contribs, verts["v"] == contribs["dst"], "left"
+            ).select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
+                ).alias("rank"),
+            )
+            if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+                ranks = _cut_lineage(ranks)
+        return ranks.select(F.col("v").alias("vertex"), "rank")
+    finally:
+        edges_w.unpersist()
+        if dangling is not None:
+            dangling.unpersist()
+
+
+def k_core(edges: DataFrame, k: int, max_iterations: int = 100) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex
+    has total degree (in + out, parallel edges collapsed by the caller)
+    >= k. Iterated peeling: drop vertices below k, restrict edges to
+    surviving endpoints, repeat to fixpoint.
+
+    Per iteration: one degree aggregation, two semi-joins, one bounded
+    scalar (the surviving-edge count, doubling as the convergence
+    check). Terminates in at most |V| rounds; real graphs converge in
+    a handful.
+    """
+    cur = edges
+    prev_n = None
+    for _ in range(max_iterations):
+        deg = (
+            cur.select(F.col("src").alias("v"))
+            .unionByName(cur.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        nxt = _cut_lineage(
+            cur.join(keep, cur["src"] == keep["v"], "left_semi").join(
+                keep, cur["dst"] == keep["v"], "left_semi"
+            )
+        )
+        n_edges = nxt.count()  # bounded scalar + fixpoint check
+        cur = nxt
+        if n_edges == prev_n or n_edges == 0:
+            break
+        prev_n = n_edges
+    return (
+        cur.select(F.col("src").alias("v"))
+        .unionByName(cur.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+
+
+def n_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n: int,
+    direction: str = "out",
+) -> DataFrame:
+    """BFS neighborhood: (vertex, hop) for every vertex reachable from
+    the seed set (column ``v``) in at most ``n`` directed hops; ``hop``
+    is the MINIMUM distance (seeds are hop 0). ``direction`` follows
+    edges src->dst (``"out"``), dst->src (``"in"``), or both
+    (``"both"``).
+
+    Frontier expansion per hop: one join of edges against the (small)
+    frontier, a distinct, and an anti-join against the visited set —
+    the standard scalable BFS; no per-vertex driver state. The frontier
+    is typically tiny relative to edges, so Catalyst/AQE broadcasts it;
+    visited grows monotonically and is lineage-cut every hop.
+    """
+    if direction == "out":
+        step = edges.select("src", "dst")
+    elif direction == "in":
+        step = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    elif direction == "both":
+        step = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+    visited = _cut_lineage(
+        seeds.select("v").distinct().select("v", F.lit(0).alias("hop"))
+    )
+    frontier = visited.select("v")
+    for h in range(1, n + 1):
+        nxt = (
+            step.join(frontier, step["src"] == frontier["v"], "left_semi")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, "v", "left_anti")
+            .select("v", F.lit(h).alias("hop"))
+        )
+        nxt = _cut_lineage(nxt)
+        if nxt.isEmpty():  # bounded probe; BFS done early
+            break
+        visited = _cut_lineage(visited.unionByName(nxt))
+        frontier = nxt.select("v")
+    return visited.select(F.col("v").alias("vertex"), "hop")

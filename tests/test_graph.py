@@ -1,0 +1,179 @@
+"""Graph analytics (antnre_spark/graph.py) vs brute-force numpy oracles.
+
+Fixture graph: deterministic 24-vertex digraph with every structural
+feature the operators must handle — a cycle, chords, a dangling sink
+cluster, an isolated reciprocal pair, and hub fan-in — small enough
+that adjacency-matrix power iteration / set-based BFS / peeling are
+exact oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from antnre_spark import graph
+
+# (src, dst) over vertices "v00".."v23": ring 0..9 with chords, hub v10
+# fed by the ring, tail chain 11->12->13 (13 dangling), reciprocal pair
+# 14<->15, star 16->{17,18,19}, path into the ring 20->21->0, isolated
+# cycle 22->23->22
+EDGES = (
+    [(i, (i + 1) % 10) for i in range(10)]
+    + [(0, 5), (2, 7), (4, 9)]
+    + [(i, 10) for i in (1, 3, 5, 7, 9)]
+    + [(10, 11), (11, 12), (12, 13)]
+    + [(14, 15), (15, 14)]
+    + [(16, 17), (16, 18), (16, 19)]
+    + [(20, 21), (21, 0)]
+    + [(22, 23), (23, 22)]
+)
+N_V = 24
+
+
+def vid(i: int) -> str:
+    return f"v{i:02d}"
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(
+        [(vid(a), vid(b)) for a, b in EDGES], "src string, dst string"
+    )
+
+
+def numpy_pagerank(iterations: int, damping: float) -> np.ndarray:
+    """Dense power iteration with uniform teleport + dangling mass."""
+    A = np.zeros((N_V, N_V))
+    for a, b in EDGES:
+        A[a, b] = 1.0
+    outdeg = A.sum(axis=1)
+    r = np.full(N_V, 1.0 / N_V)
+    for _ in range(iterations):
+        dm = r[outdeg == 0].sum()
+        contrib = np.zeros(N_V)
+        for a in range(N_V):
+            if outdeg[a]:
+                contrib += r[a] / outdeg[a] * A[a]
+        r = (1 - damping) / N_V + damping * (contrib + dm / N_V)
+    return r
+
+
+class TestPageRank:
+    def test_matches_dense_power_iteration(self, edges_df):
+        got = {
+            r["vertex"]: r["rank"]
+            for r in graph.pagerank(edges_df, iterations=7).collect()
+        }
+        want = numpy_pagerank(7, 0.85)
+        assert len(got) == N_V
+        for i in range(N_V):
+            assert got[vid(i)] == pytest.approx(want[i], abs=1e-12)
+
+    def test_mass_conserved_and_hub_ranked(self, edges_df):
+        rows = graph.pagerank(edges_df, iterations=15).collect()
+        assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+        by_rank = sorted(rows, key=lambda r: -r["rank"])
+        # v10 has 5 in-edges (the hub); v13 accumulates the tail chain
+        assert by_rank[0]["vertex"] in (vid(10), vid(13))
+
+    def test_empty_graph(self, spark):
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert graph.pagerank(empty, iterations=2).count() == 0
+
+
+def numpy_k_core(k: int) -> set[int]:
+    edges = set(EDGES)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            return {v for e in edges for v in e}
+        edges = nxt
+
+
+class TestKCore:
+    @pytest.mark.parametrize("k", [1, 2, 3, 4])
+    def test_matches_peeling_oracle(self, edges_df, k):
+        got = {r["v"] for r in graph.k_core(edges_df, k).collect()}
+        assert got == {vid(i) for i in numpy_k_core(k)}
+
+    def test_k2_drops_star_leaves(self, edges_df):
+        got = {r["v"] for r in graph.k_core(edges_df, 2).collect()}
+        # star leaves 17/18/19 and their center have degree < 2 after peel
+        assert vid(17) not in got and vid(16) not in got
+        # the ring survives (each ring vertex has degree >= 2)
+        assert {vid(i) for i in range(10)} <= got
+
+
+def numpy_n_hop(seeds: set[int], n: int, direction: str) -> dict[int, int]:
+    fwd = {}
+    for a, b in EDGES:
+        if direction in ("out", "both"):
+            fwd.setdefault(a, set()).add(b)
+        if direction in ("in", "both"):
+            fwd.setdefault(b, set()).add(a)
+    hop = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, n + 1):
+        frontier = {
+            d for s in frontier for d in fwd.get(s, ()) if d not in hop
+        }
+        for d in frontier:
+            hop[d] = h
+        if not frontier:
+            break
+    return hop
+
+
+class TestNHop:
+    @pytest.mark.parametrize("direction", ["out", "in", "both"])
+    def test_matches_bfs_oracle(self, spark, edges_df, direction):
+        seeds = spark.createDataFrame([(vid(0),), (vid(16),)], "v string")
+        got = {
+            r["vertex"]: r["hop"]
+            for r in graph.n_hop(edges_df, seeds, 3, direction).collect()
+        }
+        want = {
+            vid(v): h for v, h in numpy_n_hop({0, 16}, 3, direction).items()
+        }
+        assert got == want
+
+    def test_min_hop_not_first_path(self, spark, edges_df):
+        # v05 is reachable from v00 in 1 hop (chord) AND 5 hops (ring);
+        # BFS must record the minimum
+        seeds = spark.createDataFrame([(vid(0),)], "v string")
+        got = {
+            r["vertex"]: r["hop"]
+            for r in graph.n_hop(edges_df, seeds, 6).collect()
+        }
+        assert got[vid(5)] == 1
+        # isolated 22/23 never reached
+        assert vid(22) not in got and vid(23) not in got
+
+    def test_bad_direction(self, spark, edges_df):
+        seeds = spark.createDataFrame([(vid(0),)], "v string")
+        with pytest.raises(ValueError):
+            graph.n_hop(edges_df, seeds, 1, direction="sideways")
+
+
+class TestKgEdges:
+    def test_collapses_parallel_and_self_edges(self, spark):
+        triples = spark.createDataFrame(
+            [
+                ("e1", "works_for", "e2"),
+                ("e1", "founded", "e2"),  # parallel: same pair
+                ("e3", "knows", "e3"),  # self-loop: dropped
+                ("e2", "located_in", "e3"),
+            ],
+            "subj_id string, pred string, obj_id string",
+        )
+        got = {
+            (r["src"], r["dst"]) for r in graph.kg_edges(triples).collect()
+        }
+        assert got == {("e1", "e2"), ("e2", "e3")}

@@ -44,9 +44,12 @@ from pyspark.sql import DataFrame, functions as F
 from .link import _cut_lineage
 
 
-def kg_edges(triples: DataFrame) -> DataFrame:
+def kg_edges(
+    triples: DataFrame, src_col: str = "subj", dst_col: str = "obj"
+) -> DataFrame:
     """Entity-level directed edge list (src, dst) from the materialized
-    triples table (subj_id -> obj_id), one row per distinct pair.
+    triples table (``materialize.materialize_triples`` schema: subj,
+    pred, obj, ...), one row per distinct pair.
 
     ``distinct()`` collapses parallel edges (multiple predicates /
     evidence between the same pair) so the analytics below weigh
@@ -55,7 +58,7 @@ def kg_edges(triples: DataFrame) -> DataFrame:
     """
     return (
         triples.select(
-            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()

@@ -1,0 +1,105 @@
+"""kg_graph job — graph analytics over a materialized KG run
+(SURVEY.md §2.H H6): PageRank, k-core membership, and optional n-hop
+neighborhoods of the highest-ranked entities, written back as IceLite
+tables next to the pipeline's own.
+
+spark-submit --py-files kg.zip jobs/graph_analytics.py --out <table root> \\
+    [--iterations 10] [--damping 0.85] [--k-core 2] [--hops 0] [--top 20]
+
+Reads the run's ``triples`` table (so it composes with jobs/extract.py +
+jobs/link_materialize.py exactly like jobs/evaluate.py does), collapses
+it to a distinct entity edge list, and writes:
+
+  <out>/graph_pagerank   (vertex, rank)          — full vertex set
+  <out>/graph_kcore      (v,)                    — k-core members
+  <out>/graph_neighbors  (seed, vertex, hop)     — only with --hops > 0,
+                                                   seeds = --top ranked
+
+Prints one JSON line with the table row counts and the top entities by
+rank (bounded: --top rows to the driver, nothing else).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from antnre_spark import graph  # noqa: E402
+from antnre_spark.icelite import IceLite  # noqa: E402
+from antnre_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--k-core", type=int, default=2, dest="k_core")
+    ap.add_argument(
+        "--hops",
+        type=int,
+        default=0,
+        help="if > 0, also materialize the --hops-hop out-neighborhood "
+        "of each of the --top highest-ranked entities",
+    )
+    ap.add_argument("--top", type=int, default=20)
+    args = ap.parse_args()
+
+    spark = get_spark("kg_graph")
+    triples = IceLite(f"{args.out}/triples").load(spark)
+    if triples is None:
+        raise SystemExit(
+            "no triples table under --out: run jobs/extract.py and "
+            "jobs/link_materialize.py first"
+        )
+    edges = graph.kg_edges(triples)
+
+    def _append_rows(table: IceLite, df) -> int:
+        """Append and return the written row count from the manifest —
+        no second action over the DataFrame."""
+        snap = table.append(df)
+        return table.manifest(snap)["total_rows"]
+
+    ranks = graph.pagerank(
+        edges, iterations=args.iterations, damping=args.damping
+    )
+    n_vertices = _append_rows(IceLite(f"{args.out}/graph_pagerank"), ranks)
+    core = graph.k_core(edges, args.k_core)
+    n_core = _append_rows(IceLite(f"{args.out}/graph_kcore"), core)
+
+    top = [
+        (r["vertex"], r["rank"])
+        for r in ranks.orderBy(F.desc("rank"), "vertex")
+        .limit(args.top)
+        .collect()  # bounded: --top rows
+    ]
+    report = {
+        "vertices": n_vertices,
+        f"kcore_{args.k_core}_members": n_core,
+        "top_by_rank": [
+            {"entity": v, "rank": round(rk, 6)} for v, rk in top
+        ],
+    }
+    if args.hops > 0:
+        # UNION neighborhood: every entity within --hops out-hops of ANY
+        # top-ranked seed, at its minimum hop distance
+        seeds = spark.createDataFrame([(v,) for v, _ in top], "v string")
+        hoods = (
+            graph.n_hop(edges, seeds, args.hops)
+            .filter(F.col("hop") > 0)
+            .withColumn("seed_set", F.lit(",".join(v for v, _ in top)))
+        )
+        report["neighborhood_rows"] = _append_rows(
+            IceLite(f"{args.out}/graph_neighbors"), hoods
+        )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

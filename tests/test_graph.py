@@ -171,7 +171,7 @@ class TestKgEdges:
                 ("e3", "knows", "e3"),  # self-loop: dropped
                 ("e2", "located_in", "e3"),
             ],
-            "subj_id string, pred string, obj_id string",
+            "subj string, pred string, obj string",
         )
         got = {
             (r["src"], r["dst"]) for r in graph.kg_edges(triples).collect()

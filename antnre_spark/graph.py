@@ -146,6 +146,158 @@ def pagerank(
             dangling.unpersist()
 
 
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(vertex, component) for the UNDIRECTED components of the edge
+    set; component = min vertex id in the component (total,
+    deterministic label).
+
+    Thin adapter over ``link.connected_components`` — the same hybrid
+    engine the entity-linking stage runs at corpus scale (driver-local
+    union-find below the measured cutover, distributed min-label
+    propagation with automatic large-star/small-star escalation above
+    it), reused rather than re-implemented.
+    """
+    from .link import connected_components as _cc
+
+    out = _cc(
+        edges.select(
+            F.lit("_g").alias("ent_type"),
+            F.col("src").alias("norm_a"),
+            F.col("dst").alias("norm_b"),
+        ),
+        vertices(edges).select(
+            F.lit("_g").alias("ent_type"), F.col("v").alias("norm")
+        ),
+    )
+    return out.select(
+        F.col("norm").alias("vertex"), F.col("component")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count per vertex (vertex, n_triangles), vertices
+    in no triangle omitted. Direction is ignored (the KG edge list is
+    symmetrized and deduped first).
+
+    Degree-ordered orientation [pub: the standard MapReduce triangle
+    scheme, Suri & Vassilvitskii WWW'11]: orient every undirected edge
+    from the lower-(degree, id) endpoint to the higher, making a DAG in
+    which each triangle appears as EXACTLY one wedge u->v, v->w plus
+    its closing oriented edge u->w. Wedge generation is the only
+    quadratic-ish step and is bounded per vertex by ORIENTED out-degree
+    <= O(sqrt(|E|)) — the whole point of the orientation: a
+    10^8-follower hub contributes no giant wedge set because its edges
+    all point INTO it.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient (a, b) from the (deg, id)-smaller endpoint to the larger
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    o1 = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    o2 = oriented.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    wedges = o1.join(o2, "y").select("x", "y", "z")
+    tris = wedges.join(
+        oriented,
+        (wedges["x"] == oriented["u"]) & (wedges["z"] == oriented["w"]),
+        "left_semi",
+    )
+    per_vertex = (
+        tris.select(F.col("x").alias("vertex"))
+        .unionByName(tris.select(F.col("y").alias("vertex")))
+        .unionByName(tris.select(F.col("z").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_vertex
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 10, checkpoint_every: int = 3
+) -> DataFrame:
+    """Community detection by synchronous label propagation
+    [pub: Raghavan et al. 2007] over the undirected edge set:
+    every vertex starts as its own label; each round it adopts the most
+    frequent label among its neighbors, ties broken by MIN label — a
+    deterministic total order, so the result is reproducible run to
+    run (unlike the randomized original). Fixed iteration count;
+    synchronous LPA can 2-cycle on bipartite structures, so callers
+    wanting a fixpoint should compare consecutive rounds themselves.
+
+    Per round: one join of the symmetrized edges against the (small)
+    label table, a (vertex, label) count aggregation, and one window
+    max — all shuffle-bounded on vertex keys, lineage-cut every
+    ``checkpoint_every`` rounds like the other fixpoint loops here.
+
+    Returns (vertex, label).
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        sym.count()  # materialize once; every round re-reads it
+        labels = vertices(edges).select("v", F.col("v").alias("label"))
+        for i in range(iterations):
+            neigh = (
+                sym.join(labels, sym["dst"] == labels["v"])
+                .select(F.col("src").alias("v"), "label")
+                .groupBy("v", "label")
+                .agg(F.count("*").alias("n"))
+            )
+            w = Window.partitionBy("v").orderBy(
+                F.desc("n"), F.asc("label")
+            )
+            best = (
+                neigh.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("v", "label")
+            )
+            # isolated vertices (no neighbors) keep their own label
+            labels = (
+                labels.select("v", F.col("label").alias("old"))
+                .join(best, "v", "left")
+                .select(
+                    "v", F.coalesce("label", "old").alias("label")
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+                labels = _cut_lineage(labels)
+        return labels.select(F.col("v").alias("vertex"), "label")
+    finally:
+        sym.unpersist()
+
+
 def k_core(edges: DataFrame, k: int, max_iterations: int = 100) -> DataFrame:
     """Vertices of the k-core: the maximal subgraph where every vertex
     has total degree (in + out, parallel edges collapsed by the caller)

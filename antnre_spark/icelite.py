@@ -173,6 +173,21 @@ class IceLite:
         live = self.manifest(parent)["files"] if parent is not None else []
         return self._commit_or_clean(live + new_files, parent, "append", new_files)
 
+    def overwrite(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Replace the ENTIRE table contents with df in one snapshot
+        (Iceberg's full-table overwrite): the new manifest lists only
+        this write's files; prior snapshots stay readable for time
+        travel until expire_snapshots reclaims them. The right op for
+        derived tables that are fully recomputed per run (r6: the
+        graph-analytics outputs), where append would silently stack
+        stale rows under the reader."""
+        parent = self.current_snapshot()
+        snap = (parent if parent is not None else -1) + 1
+        new_files = self._write_files(df, snap, partition_by)
+        return self._commit_or_clean(new_files, parent, "overwrite", new_files)
+
     def overwrite_partitions(
         self, df: DataFrame, partition_by: list[str]
     ) -> int:

@@ -49,6 +49,24 @@ def main() -> None:
         "of each of the --top highest-ranked entities",
     )
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument(
+        "--communities",
+        type=int,
+        default=0,
+        metavar="ITERS",
+        help="if > 0, run label propagation for ITERS rounds and write "
+        "graph_communities (vertex, label)",
+    )
+    ap.add_argument(
+        "--triangles",
+        action="store_true",
+        help="also write per-vertex triangle counts (graph_triangles)",
+    )
+    ap.add_argument(
+        "--components",
+        action="store_true",
+        help="also write undirected connected components (graph_components)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("kg_graph")
@@ -61,9 +79,11 @@ def main() -> None:
     edges = graph.kg_edges(triples)
 
     def _append_rows(table: IceLite, df) -> int:
-        """Append and return the written row count from the manifest —
-        no second action over the DataFrame."""
-        snap = table.append(df)
+        """Full-table overwrite (re-running analytics REPLACES the
+        previous run's derived rows — append would stack them under the
+        reader) returning the written row count from the manifest — no
+        second action over the DataFrame."""
+        snap = table.overwrite(df)
         return table.manifest(snap)["total_rows"]
 
     ranks = graph.pagerank(
@@ -97,6 +117,21 @@ def main() -> None:
         )
         report["neighborhood_rows"] = _append_rows(
             IceLite(f"{args.out}/graph_neighbors"), hoods
+        )
+    if args.communities > 0:
+        comm = graph.label_propagation(edges, iterations=args.communities)
+        report["community_rows"] = _append_rows(
+            IceLite(f"{args.out}/graph_communities"), comm
+        )
+    if args.triangles:
+        tri = graph.triangle_count(edges)
+        report["triangle_vertex_rows"] = _append_rows(
+            IceLite(f"{args.out}/graph_triangles"), tri
+        )
+    if args.components:
+        comp = graph.connected_components(edges)
+        report["component_rows"] = _append_rows(
+            IceLite(f"{args.out}/graph_components"), comp
         )
     print(json.dumps(report))
 

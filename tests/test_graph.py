@@ -162,6 +162,143 @@ class TestNHop:
             graph.n_hop(edges_df, seeds, 1, direction="sideways")
 
 
+class TestConnectedComponents:
+    def test_undirected_components_min_label(self, edges_df):
+        got = {
+            r["vertex"]: r["component"]
+            for r in graph.connected_components(edges_df).collect()
+        }
+        # union-find oracle over the undirected fixture edges
+        parent = {vid(i): vid(i) for i in range(N_V)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in EDGES:
+            ra, rb = find(vid(a)), find(vid(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in parent}
+        assert got == want
+        # the fixture has exactly 4 components
+        assert len(set(got.values())) == 4
+
+
+def brute_triangles(edge_list):
+    """Per-vertex triangle counts by scanning all vertex triples."""
+    und = set()
+    for a, b in edge_list:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    verts = sorted({v for e in und for v in e})
+    count = {}
+    for i, u in enumerate(verts):
+        for v in verts[i + 1:]:
+            if (u, v) not in und:
+                continue
+            for w in verts:
+                if w <= v:
+                    continue
+                if (u, w) in und and (v, w) in und:
+                    for x in (u, v, w):
+                        count[x] = count.get(x, 0) + 1
+    return count
+
+
+class TestTriangleCount:
+    # K4 on 0..3 (4 triangles, 3 per vertex) + pendant 4 + a separate
+    # triangle 5-6-7 + an edge given in BOTH directions (must not
+    # double-count) + a self-loop (must be ignored)
+    TRI_EDGES = (
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        + [(3, 4)]
+        + [(5, 6), (6, 7), (7, 5), (6, 5)]
+        + [(8, 8)]
+    )
+
+    def test_matches_brute_force(self, spark):
+        df = spark.createDataFrame(
+            [(vid(a), vid(b)) for a, b in self.TRI_EDGES],
+            "src string, dst string",
+        )
+        got = {
+            r["vertex"]: r["n_triangles"]
+            for r in graph.triangle_count(df).collect()
+        }
+        want = {
+            vid(v): n for v, n in brute_triangles(self.TRI_EDGES).items()
+        }
+        assert got == want
+        assert got[vid(0)] == 3 and got[vid(5)] == 1
+        assert vid(4) not in got and vid(8) not in got
+
+    def test_fixture_graph_triangle_free(self, edges_df):
+        # the 24-vertex fixture digraph is triangle-free by construction
+        assert graph.triangle_count(edges_df).count() == 0
+
+
+def brute_lpa(edge_list, n_vertices, iterations):
+    """Exact synchronous LPA with (max count, min label) tie-break."""
+    neigh: dict[int, list[int]] = {}
+    sym = set()
+    for a, b in edge_list:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    for a, b in sym:
+        neigh.setdefault(a, []).append(b)
+    labels = {v: v for v in range(n_vertices)}
+    for _ in range(iterations):
+        nxt = {}
+        for v in range(n_vertices):
+            ns = neigh.get(v)
+            if not ns:
+                nxt[v] = labels[v]
+                continue
+            counts: dict[int, int] = {}
+            for u in ns:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            # max count, then MIN label (note -label inverts for max())
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+class TestLabelPropagation:
+    @pytest.mark.parametrize("iterations", [1, 2, 4])
+    def test_matches_synchronous_oracle(self, edges_df, iterations):
+        got = {
+            r["vertex"]: r["label"]
+            for r in graph.label_propagation(
+                edges_df, iterations=iterations
+            ).collect()
+        }
+        want = {
+            vid(v): vid(l)
+            for v, l in brute_lpa(EDGES, N_V, iterations).items()
+        }
+        assert got == want
+
+    def test_triangle_with_pendant_converges(self, spark):
+        # triangle 0-1-2 plus pendant 3 on 0 reaches the all-v00
+        # fixpoint by round 4 (a star would 2-cycle — synchronous LPA's
+        # documented bipartite oscillation, why iterations is fixed)
+        tri = spark.createDataFrame(
+            [(vid(0), vid(1)), (vid(1), vid(2)), (vid(2), vid(0)),
+             (vid(0), vid(3))],
+            "src string, dst string",
+        )
+        got = {
+            r["vertex"]: r["label"]
+            for r in graph.label_propagation(tri, iterations=4).collect()
+        }
+        assert set(got.values()) == {vid(0)}
+
+
 class TestKgEdges:
     def test_collapses_parallel_and_self_edges(self, spark):
         triples = spark.createDataFrame(

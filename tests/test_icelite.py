@@ -49,6 +49,25 @@ class TestOverwritePartitions:
         assert table.load(spark).count() == 1
 
 
+class TestFullOverwrite:
+    def test_replaces_everything_keeps_time_travel(self, spark, table):
+        table.append(df_of(spark, [(1, "a", 10), (2, "b", 20)]), ["part"])
+        table.overwrite(df_of(spark, [(3, "c", 30)]))
+        got = {(r["k"], r["part"]) for r in table.load(spark).collect()}
+        assert got == {(3, "c")}  # prior rows GONE from the live view
+        # but snapshot 0 still readable until expiry
+        assert table.load(spark, snapshot=0).count() == 2
+        rep = table.expire_snapshots(keep_last=1)
+        assert rep["expired_snapshots"] == 1 and rep["removed_files"] > 0
+        assert table.load(spark).count() == 1
+
+    def test_rerun_does_not_stack(self, spark, table):
+        data = df_of(spark, [(1, "a", 10), (2, "b", 20)])
+        for _ in range(3):
+            table.overwrite(data)
+        assert table.total_rows() == 2
+
+
 class TestIncremental:
     def test_incremental_reads_only_new_files(self, spark, table):
         s0 = table.append(df_of(spark, [(1, "a", 10)]), ["part"])

@@ -45,23 +45,29 @@ from .link import _cut_lineage
 
 
 def kg_edges(
-    triples: DataFrame, src_col: str = "subj", dst_col: str = "obj"
+    triples: DataFrame,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    evidence_col: str | None = None,
 ) -> DataFrame:
     """Entity-level directed edge list (src, dst) from the materialized
     triples table (``materialize.materialize_triples`` schema: subj,
     pred, obj, ...), one row per distinct pair.
 
-    ``distinct()`` collapses parallel edges (multiple predicates /
-    evidence between the same pair) so the analytics below weigh
-    structure, not predicate multiplicity; keep the raw triples table
-    when multiplicity matters.
+    The collapse to one row per pair means the analytics weigh
+    structure, not predicate multiplicity — unless ``evidence_col``
+    names a count column (e.g. ``n_evidence``), in which case the
+    output carries a ``weight`` column summing it across the collapsed
+    parallel edges, ready for ``pagerank(weight_col="weight")``.
     """
-    return (
-        triples.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    pairs = triples.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        *([F.col(evidence_col)] if evidence_col else []),
+    ).filter(F.col("src") != F.col("dst"))
+    if evidence_col is None:
+        return pairs.distinct()
+    return pairs.groupBy("src", "dst").agg(
+        F.sum(F.col(evidence_col).cast("double")).alias("weight")
     )
 
 
@@ -79,21 +85,41 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    weight_col: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a (src, dst) edge DataFrame.
 
     Returns (vertex, rank) for every vertex, with sum(rank) == 1 up to
     float error. Fixed iteration count (the caller picks convergence
     depth); uniform teleport ``(1-d)/N``; the rank mass of dangling
-    vertices (no out-edges) is redistributed uniformly each step, so
-    mass is conserved exactly as in the public formulation.
+    vertices (no out-edges) is redistributed via the teleport vector
+    each step, so mass is conserved exactly as in the public
+    formulation.
+
+    ``weight_col`` (r6): name of a positive edge-weight column
+    (e.g. the triple table's ``n_evidence``); contributions become
+    ``rank * w / out_strength(src)`` instead of ``rank / outdeg``.
+    Zero/negative weights are the caller's bug — out_strength must be
+    positive wherever an out-edge exists.
+
+    ``seeds`` (r6): a DataFrame with column ``v`` switches to
+    PERSONALIZED PageRank [pub: the standard PPR formulation]: the
+    teleport (and dangling) mass goes uniformly to the seed set only,
+    and ranks start there — the KG use is "entity relevance around
+    this query entity", evidence-weighted when combined with
+    weight_col. Non-seed-reachable vertices get rank 0.
 
     Execution shape per iteration: one join of the prepared edge
-    relation (out-degree attached, persisted once) with the current
-    rank vector on ``src``, one map-side-combined ``groupBy(dst)``,
-    one left join back onto the vertex set, plus ONE bounded scalar
-    action (the dangling-mass sum — a single double to the driver,
-    the same bounded-collect class as the CC loop's fingerprint).
+    relation (out-degree/strength attached, persisted once) with the
+    current rank vector on ``src``, one map-side-combined
+    ``groupBy(dst)``, one left join back onto the vertex set, plus ONE
+    bounded scalar action (the dangling-mass sum — a single double to
+    the driver, the same bounded-collect class as the CC loop's
+    fingerprint). The uniform/unweighted path computes bit-identical
+    expressions to the original r6 formula (the gr_pagerank oracle
+    depends on that), so the generalizations branch rather than
+    rewrite it.
     """
     verts = _cut_lineage(vertices(edges))
     n = verts.count()  # bounded scalar: one long
@@ -101,13 +127,43 @@ def pagerank(
         return verts.select(
             F.col("v").alias("vertex"), F.lit(0.0).alias("rank")
         )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if weight_col is None:
+        deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    else:
+        deg = edges.groupBy("src").agg(
+            F.sum(F.col(weight_col).cast("double")).alias("outdeg")
+        )
+    wc = (
+        F.lit(1.0)
+        if weight_col is None
+        else F.col(weight_col).cast("double")
+    )
     # static across iterations: prepare once, persist, reuse
-    edges_w = edges.join(deg, "src").persist()
+    edges_w = edges.join(deg, "src").select(
+        "src", "dst", "outdeg", wc.alias("w")
+    ).persist()
     dangling = None
+    e_verts = None
     try:
         edges_w.count()  # materialize before the loop times anything
-        ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
+        if seeds is None:
+            ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
+        else:
+            seed_set = _cut_lineage(
+                verts.join(seeds.select("v").distinct(), "v", "left_semi")
+            )
+            n_seeds = seed_set.count()  # bounded scalar
+            if n_seeds == 0:
+                raise ValueError("seeds contain no vertex of the graph")
+            # teleport vector e: 1/|S| on seeds, 0 elsewhere — carried
+            # as a static per-vertex column
+            e_verts = verts.join(
+                seed_set.select("v", F.lit(1.0 / n_seeds).alias("e")),
+                "v",
+                "left",
+            ).select("v", F.coalesce("e", F.lit(0.0)).alias("e")).persist()
+            e_verts.count()
+            ranks = e_verts.select("v", F.col("e").alias("rank"))
         # vertices with no out-edges, computed once (static set)
         dangling = verts.join(
             deg, verts["v"] == deg["src"], "left_anti"
@@ -122,21 +178,39 @@ def pagerank(
             contribs = (
                 edges_w.join(ranks, edges_w["src"] == ranks["v"])
                 .select(
-                    "dst", (F.col("rank") / F.col("outdeg")).alias("c")
+                    "dst",
+                    (F.col("rank") * F.col("w") / F.col("outdeg")).alias("c")
+                    if weight_col is not None
+                    else (F.col("rank") / F.col("outdeg")).alias("c"),
                 )
                 .groupBy("dst")
                 .agg(F.sum("c").alias("s"))
             )
-            ranks = verts.join(
-                contribs, verts["v"] == contribs["dst"], "left"
-            ).select(
-                "v",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
-                ).alias("rank"),
-            )
+            if seeds is None:
+                ranks = verts.join(
+                    contribs, verts["v"] == contribs["dst"], "left"
+                ).select(
+                    "v",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
+                    ).alias("rank"),
+                )
+            else:
+                ranks = e_verts.join(
+                    contribs, e_verts["v"] == contribs["dst"], "left"
+                ).select(
+                    "v",
+                    (
+                        F.lit(1.0 - damping) * F.col("e")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("s"), F.lit(0.0))
+                            + F.lit(dm) * F.col("e")
+                        )
+                    ).alias("rank"),
+                )
             if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
                 ranks = _cut_lineage(ranks)
         return ranks.select(F.col("v").alias("vertex"), "rank")
@@ -144,6 +218,8 @@ def pagerank(
         edges_w.unpersist()
         if dangling is not None:
             dangling.unpersist()
+        if e_verts is not None:
+            e_verts.unpersist()
 
 
 def connected_components(edges: DataFrame) -> DataFrame:

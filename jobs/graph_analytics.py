@@ -67,6 +67,21 @@ def main() -> None:
         action="store_true",
         help="also write undirected connected components (graph_components)",
     )
+    ap.add_argument(
+        "--weighted",
+        action="store_true",
+        help="weight PageRank edges by summed n_evidence instead of "
+        "collapsing parallel edges to weight 1",
+    )
+    ap.add_argument(
+        "--seed",
+        action="append",
+        default=[],
+        metavar="ENTITY",
+        help="entity id(s) for PERSONALIZED PageRank (teleport to the "
+        "seed set); repeatable; writes graph_ppr instead of changing "
+        "graph_pagerank",
+    )
     args = ap.parse_args()
 
     spark = get_spark("kg_graph")
@@ -76,7 +91,12 @@ def main() -> None:
             "no triples table under --out: run jobs/extract.py and "
             "jobs/link_materialize.py first"
         )
-    edges = graph.kg_edges(triples)
+    weight_col = None
+    if args.weighted:
+        edges = graph.kg_edges(triples, evidence_col="n_evidence")
+        weight_col = "weight"
+    else:
+        edges = graph.kg_edges(triples)
 
     def _append_rows(table: IceLite, df) -> int:
         """Full-table overwrite (re-running analytics REPLACES the
@@ -87,7 +107,10 @@ def main() -> None:
         return table.manifest(snap)["total_rows"]
 
     ranks = graph.pagerank(
-        edges, iterations=args.iterations, damping=args.damping
+        edges,
+        iterations=args.iterations,
+        damping=args.damping,
+        weight_col=weight_col,
     )
     n_vertices = _append_rows(IceLite(f"{args.out}/graph_pagerank"), ranks)
     core = graph.k_core(edges, args.k_core)
@@ -133,6 +156,21 @@ def main() -> None:
         report["component_rows"] = _append_rows(
             IceLite(f"{args.out}/graph_components"), comp
         )
+    if args.seed:
+        ppr_seeds = spark.createDataFrame(
+            [(s,) for s in args.seed], "v string"
+        )
+        ppr = graph.pagerank(
+            edges,
+            iterations=args.iterations,
+            damping=args.damping,
+            weight_col=weight_col,
+            seeds=ppr_seeds,
+        ).filter(F.col("rank") > 0.0)
+        report["ppr_rows"] = _append_rows(
+            IceLite(f"{args.out}/graph_ppr"), ppr
+        )
+        report["ppr_seeds"] = sorted(args.seed)
     print(json.dumps(report))
 
 

@@ -43,20 +43,31 @@ def edges_df(spark):
     )
 
 
-def numpy_pagerank(iterations: int, damping: float) -> np.ndarray:
-    """Dense power iteration with uniform teleport + dangling mass."""
+def numpy_pagerank(
+    iterations: int,
+    damping: float,
+    weights: dict | None = None,
+    seeds: set | None = None,
+) -> np.ndarray:
+    """Dense power iteration with teleport-vector dangling mass;
+    optional edge weights and personalization (teleport to seeds)."""
     A = np.zeros((N_V, N_V))
     for a, b in EDGES:
-        A[a, b] = 1.0
+        A[a, b] = weights[(a, b)] if weights else 1.0
     outdeg = A.sum(axis=1)
-    r = np.full(N_V, 1.0 / N_V)
+    if seeds is None:
+        e = np.full(N_V, 1.0 / N_V)
+    else:
+        e = np.zeros(N_V)
+        e[sorted(seeds)] = 1.0 / len(seeds)
+    r = e.copy()
     for _ in range(iterations):
         dm = r[outdeg == 0].sum()
         contrib = np.zeros(N_V)
         for a in range(N_V):
             if outdeg[a]:
                 contrib += r[a] / outdeg[a] * A[a]
-        r = (1 - damping) / N_V + damping * (contrib + dm / N_V)
+        r = (1 - damping) * e + damping * (contrib + dm * e)
     return r
 
 
@@ -81,6 +92,48 @@ class TestPageRank:
     def test_empty_graph(self, spark):
         empty = spark.createDataFrame([], "src string, dst string")
         assert graph.pagerank(empty, iterations=2).count() == 0
+
+    def test_weighted_matches_oracle(self, spark):
+        # deterministic positive weights: w(a,b) = 1 + (a + 2b) % 5
+        w = {(a, b): 1.0 + (a + 2 * b) % 5 for a, b in EDGES}
+        df = spark.createDataFrame(
+            [(vid(a), vid(b), w[(a, b)]) for a, b in EDGES],
+            "src string, dst string, n_evidence double",
+        )
+        got = {
+            r["vertex"]: r["rank"]
+            for r in graph.pagerank(
+                df, iterations=6, weight_col="n_evidence"
+            ).collect()
+        }
+        want = numpy_pagerank(6, 0.85, weights=w)
+        for i in range(N_V):
+            assert got[vid(i)] == pytest.approx(want[i], abs=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_personalized_matches_oracle(self, edges_df, spark):
+        seeds = spark.createDataFrame([(vid(0),), (vid(16),)], "v string")
+        got = {
+            r["vertex"]: r["rank"]
+            for r in graph.pagerank(
+                edges_df, iterations=6, seeds=seeds
+            ).collect()
+        }
+        want = numpy_pagerank(6, 0.85, seeds={0, 16})
+        for i in range(N_V):
+            assert got[vid(i)] == pytest.approx(want[i], abs=1e-12)
+        # unreachable-from-seeds vertices (isolated 22<->23 cycle,
+        # reciprocal 14<->15, and 20/21 which only point INTO the ring)
+        # carry zero rank; seeds and their downstream carry it all
+        for i in (14, 15, 20, 21, 22, 23):
+            assert got[vid(i)] == 0.0
+        assert got[vid(0)] > 0 and got[vid(17)] > 0
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_personalized_rejects_foreign_seeds(self, edges_df, spark):
+        seeds = spark.createDataFrame([("zz",)], "v string")
+        with pytest.raises(ValueError):
+            graph.pagerank(edges_df, iterations=1, seeds=seeds)
 
 
 def numpy_k_core(k: int) -> set[int]:
@@ -314,3 +367,21 @@ class TestKgEdges:
             (r["src"], r["dst"]) for r in graph.kg_edges(triples).collect()
         }
         assert got == {("e1", "e2"), ("e2", "e3")}
+
+    def test_evidence_weights_sum_over_parallel_edges(self, spark):
+        triples = spark.createDataFrame(
+            [
+                ("e1", "works_for", "e2", 3),
+                ("e1", "founded", "e2", 2),  # parallel: weights sum
+                ("e2", "located_in", "e3", 1),
+                ("e3", "knows", "e3", 9),  # self-loop: dropped
+            ],
+            "subj string, pred string, obj string, n_evidence int",
+        )
+        got = {
+            (r["src"], r["dst"]): r["weight"]
+            for r in graph.kg_edges(
+                triples, evidence_col="n_evidence"
+            ).collect()
+        }
+        assert got == {("e1", "e2"): 5.0, ("e2", "e3"): 1.0}

@@ -546,32 +546,36 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q_h3_union_distinct(spark, sf_dir):
+def q_h34_distinct_stats(spark, sf_dir):
+    """SURVEY.md §2 H3 (vertex assembly, union+distinct) and H4
+    (partition metrics, groupBy countDistinct) in one demo (merged r6
+    to free a 50-cap slot for kq_bgp — same precedent as the r3/r5 K
+    merges): the per-source legs are H4's distinct-count-per-group
+    shape, the 'all' leg is H3's union -> distinct assembly."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.col("o_custkey").alias("key")
+        F.lit("orders").alias("src"), F.col("o_custkey").alias("key")
     )
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.col("c_custkey").alias("key")
+        F.lit("customer").alias("src"), F.col("c_custkey").alias("key")
     )
-    return o.unionByName(c).distinct().agg(F.count("*").alias("n_keys"))
+    u = o.unionByName(c)
+    per_src = u.groupBy("src").agg(F.countDistinct("key").alias("n_keys"))
+    total = (
+        u.select("key")
+        .distinct()
+        .agg(F.count("*").alias("n_keys"))
+        .select(F.lit("all").alias("src"), "n_keys")
+    )
+    return per_src.unionByName(total)
 
 
-SQL_H3 = """
-SELECT count(*) AS n_keys FROM (
+SQL_H34 = """
+SELECT 'orders' AS src, count(DISTINCT o_custkey) AS n_keys FROM orders
+UNION ALL
+SELECT 'customer', count(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'all', count(*) FROM (
   SELECT o_custkey AS key FROM orders UNION SELECT c_custkey FROM customer)
-"""
-
-
-def q_h4_distinct_count(spark, sf_dir):
-    return (
-        _ev(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users"))
-    )
-
-
-SQL_H4 = """
-SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
 """
 
 
@@ -808,6 +812,68 @@ r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS rank FROM verts),"""
 SELECT v AS vertex, round(rank, 6) AS rank FROM r3
 """
 )
+
+
+def q_kq_bgp(spark, sf_dir):
+    """Basic-graph-pattern query (antnre_spark/kgquery.py — the KG
+    read side: SPARQL-style conjunctive matching compiled to a
+    DataFrame join tree) over a triple view of the test tables:
+    customers/suppliers -in_nation-> nations -in_region-> regions,
+    customers -placed-> orders. The BGP asks "customers (?m) in a
+    nation (?n) of region r0, optionally with their orders (?o)":
+    required chain + bound-object pattern (seeds the join order, most
+    selective first), a post-join filter, and an OPTIONAL group (left
+    join). The DuckDB twin writes the same query as explicit self-joins
+    on the same UNION ALL triple CTE."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.kgquery import bgp_query
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def t(df, s_col, pred, o_col, s_tag, o_tag):
+        return df.select(
+            F.concat(F.lit(s_tag), F.col(s_col).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(o_tag), F.col(o_col).cast("string")).alias("obj"),
+        )
+
+    triples = (
+        t(c, "c_custkey", "in_nation", "c_nationkey", "c", "n")
+        .unionByName(t(s, "s_suppkey", "in_nation", "s_nationkey", "s", "n"))
+        .unionByName(t(n, "n_nationkey", "in_region", "n_regionkey", "n", "r"))
+        .unionByName(t(o, "o_custkey", "placed", "o_orderkey", "c", "o"))
+    )
+    return bgp_query(
+        triples,
+        patterns=[("?m", "in_nation", "?n"), ("?n", "in_region", "r0")],
+        optional_patterns=[[("?m", "placed", "?ord")]],
+        filters=["m LIKE 'c%'"],
+        select=["m", "n", "ord"],
+    )
+
+
+SQL_KQ_BGP = """
+WITH t AS (
+  SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
+         'n' || c_nationkey AS obj FROM customer
+  UNION ALL
+  SELECT 's' || s_suppkey, 'in_nation', 'n' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey FROM nation
+  UNION ALL
+  SELECT 'c' || o_custkey, 'placed', 'o' || o_orderkey FROM orders
+)
+SELECT p1.subj AS m, p1.obj AS n, p3.obj AS ord
+FROM t p1
+JOIN t p2 ON p2.subj = p1.obj AND p2.pred = 'in_region' AND p2.obj = 'r0'
+LEFT JOIN t p3 ON p3.subj = p1.subj AND p3.pred = 'placed'
+WHERE p1.pred = 'in_nation' AND p1.subj LIKE 'c%'
+"""
 
 
 # ---- K: scalar function families ----------------------------------------
@@ -2303,8 +2369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_cc_step": q_g6_cc_step,
         "h1_join_2hop": q_h1_join_2hop,
         "h2_groupby_agg": q_h2_groupby_agg,
-        "h3_union_distinct": q_h3_union_distinct,
-        "h4_distinct_count": q_h4_distinct_count,
+        "h34_distinct_stats": q_h34_distinct_stats,
+        "kq_bgp": q_kq_bgp,
         "h5_topk": q_h5_topk,
         "i_semi_anti_join": q_i_semi_anti_join,
         "i_broadcast_join": q_i_broadcast_join,
@@ -2408,8 +2474,8 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "g6_cc_step": SQL_G6,
         "h1_join_2hop": SQL_H1,
         "h2_groupby_agg": SQL_H2,
-        "h3_union_distinct": SQL_H3,
-        "h4_distinct_count": SQL_H4,
+        "h34_distinct_stats": SQL_H34,
+        "kq_bgp": SQL_KQ_BGP,
         "h5_topk": SQL_H5,
         "i_semi_anti_join": SQL_I_SEMI_ANTI,
         "i_broadcast_join": SQL_I_BROADCAST,

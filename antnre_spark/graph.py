@@ -113,20 +113,38 @@ def pagerank(
     Execution shape per iteration: one join of the prepared edge
     relation (out-degree/strength attached, persisted once) with the
     current rank vector on ``src``, one map-side-combined
-    ``groupBy(dst)``, one left join back onto the vertex set, plus ONE
-    bounded scalar action (the dangling-mass sum — a single double to
-    the driver, the same bounded-collect class as the CC loop's
-    fingerprint). The uniform/unweighted path computes bit-identical
-    expressions to the original r6 formula (the gr_pagerank oracle
-    depends on that), so the generalizations branch rather than
-    rewrite it.
+    ``groupBy(dst)``, one left join back onto the static vertex table,
+    plus ONE bounded scalar action (the dangling-mass sum — a single
+    double to the driver, the same bounded-collect class as the CC
+    loop's fingerprint). The dangling flag and the teleport vector are
+    STATIC per-vertex facts, so they are carried as columns INSIDE the
+    rank vector: the dangling-mass scalar is then a filter+aggregate
+    SCAN of the just-persisted ranks — the one action per iteration
+    both forces the new rank cache and returns the scalar, with no
+    extra join, no extra shuffle, and no re-execution of the iteration
+    chain (measured r6: the previous semi-join + checkpoint-forced
+    shape cost ~2x per iteration at 20M edges). The uniform/unweighted
+    path computes bit-identical expressions to the original r6 formula
+    (the gr_pagerank oracle depends on that), so the generalizations
+    branch rather than rewrite it.
     """
-    verts = _cut_lineage(vertices(edges))
-    n = verts.count()  # bounded scalar: one long
+    # Vertex set AND dangling flag from ONE aggregation over the edge
+    # endpoints (dang <=> never appears as src <=> no out-edges) — this
+    # replaces the r6-original distinct + out-degree left-join + extra
+    # checkpoint setup passes; at 20M edges it cut setup ~2x.
+    vbase = (
+        edges.select(F.col("src").alias("v"), F.lit(1).alias("ho"))
+        .unionByName(edges.select(F.col("dst").alias("v"), F.lit(0).alias("ho")))
+        .groupBy("v")
+        .agg((F.max("ho") == 0).alias("dang"))
+    ).persist()
+    n = vbase.count()  # bounded scalar: one long (also forces the cache)
     if n == 0:
-        return verts.select(
+        vbase.unpersist()
+        return vbase.select(
             F.col("v").alias("vertex"), F.lit(0.0).alias("rank")
         )
+    verts = vbase.select("v")
     if weight_col is None:
         deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     else:
@@ -142,12 +160,16 @@ def pagerank(
     edges_w = edges.join(deg, "src").select(
         "src", "dst", "outdeg", wc.alias("w")
     ).persist()
-    dangling = None
-    e_verts = None
+    vstat = None
+    prev_cached = None
     try:
         edges_w.count()  # materialize before the loop times anything
+        # static per-vertex table: vbase already carries the dangling
+        # flag; PPR additionally attaches the teleport vector e — then
+        # both are carried as columns through every iteration's ranks
         if seeds is None:
-            ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
+            vstat = vbase
+            ranks = vstat.select("v", F.lit(1.0 / n).alias("rank"), "dang")
         else:
             seed_set = _cut_lineage(
                 verts.join(seeds.select("v").distinct(), "v", "left_semi")
@@ -155,26 +177,40 @@ def pagerank(
             n_seeds = seed_set.count()  # bounded scalar
             if n_seeds == 0:
                 raise ValueError("seeds contain no vertex of the graph")
-            # teleport vector e: 1/|S| on seeds, 0 elsewhere — carried
-            # as a static per-vertex column
-            e_verts = verts.join(
-                seed_set.select("v", F.lit(1.0 / n_seeds).alias("e")),
-                "v",
-                "left",
-            ).select("v", F.coalesce("e", F.lit(0.0)).alias("e")).persist()
-            e_verts.count()
-            ranks = e_verts.select("v", F.col("e").alias("rank"))
-        # vertices with no out-edges, computed once (static set)
-        dangling = verts.join(
-            deg, verts["v"] == deg["src"], "left_anti"
-        ).persist()
+            vstat = (
+                vbase.join(
+                    seed_set.select(
+                        "v", F.lit(1.0 / n_seeds).alias("e")
+                    ),
+                    "v",
+                    "left",
+                )
+                .select(
+                    "v",
+                    F.coalesce("e", F.lit(0.0)).alias("e"),
+                    "dang",
+                )
+                .persist()
+            )
+            vstat.count()
+            ranks = vstat.select(
+                "v", F.col("e").alias("rank"), "dang", "e"
+            )
+        carry = ["dang"] if seeds is None else ["dang", "e"]
         for i in range(iterations):
+            # ONE action per iteration: persist the current rank
+            # vector, then the dangling-mass aggregate scans it —
+            # forcing the cache that the contribs join below re-reads.
+            ranks = ranks.persist()
             dm_row = (
-                ranks.join(dangling, "v", "left_semi")
+                ranks.filter(F.col("dang"))
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .first()
             )
             dm = float(dm_row[0])
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = ranks
             contribs = (
                 edges_w.join(ranks, edges_w["src"] == ranks["v"])
                 .select(
@@ -187,39 +223,44 @@ def pagerank(
                 .agg(F.sum("c").alias("s"))
             )
             if seeds is None:
-                ranks = verts.join(
-                    contribs, verts["v"] == contribs["dst"], "left"
+                ranks = vstat.join(
+                    contribs, vstat["v"] == contribs["dst"], "left"
                 ).select(
-                    "v",
+                    vstat["v"],
                     (
                         F.lit((1.0 - damping) / n)
                         + F.lit(damping)
                         * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
                     ).alias("rank"),
+                    *[vstat[c] for c in carry],
                 )
             else:
-                ranks = e_verts.join(
-                    contribs, e_verts["v"] == contribs["dst"], "left"
+                ranks = vstat.join(
+                    contribs, vstat["v"] == contribs["dst"], "left"
                 ).select(
-                    "v",
+                    vstat["v"],
                     (
-                        F.lit(1.0 - damping) * F.col("e")
+                        F.lit(1.0 - damping) * vstat["e"]
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("s"), F.lit(0.0))
-                            + F.lit(dm) * F.col("e")
+                            + F.lit(dm) * vstat["e"]
                         )
                     ).alias("rank"),
+                    *[vstat[c] for c in carry],
                 )
             if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
                 ranks = _cut_lineage(ranks)
         return ranks.select(F.col("v").alias("vertex"), "rank")
     finally:
         edges_w.unpersist()
-        if dangling is not None:
-            dangling.unpersist()
-        if e_verts is not None:
-            e_verts.unpersist()
+        vbase.unpersist()
+        if vstat is not None and vstat is not vbase:
+            vstat.unpersist()
+        if prev_cached is not None:
+            # the returned ranks were localCheckpoint-ed on the last
+            # iteration, so dropping the per-iteration cache is safe
+            prev_cached.unpersist()
 
 
 def connected_components(edges: DataFrame) -> DataFrame:

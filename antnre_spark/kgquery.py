@@ -47,13 +47,152 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-Pattern = tuple[str, str, str]
+Pattern = tuple[str, object, str]
 
 _POSITIONS = ("subj", "pred", "obj")
 
+#: bounded property paths only — unbounded ``*``/``+`` closure is a
+#: different algorithm at 10^12 triples (use ``graph.n_hop`` /
+#: ``graph.connected_components`` for reachability).
+MAX_PATH_HOPS = 8
 
-def _is_var(term: str) -> bool:
-    return term.startswith("?")
+
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pred_edge(triples: DataFrame, pred) -> DataFrame:
+    """(a, b) pairs for one predicate term: a plain predicate, an
+    alternation (list/tuple/set of predicates — SPARQL ``p1|p2``), or
+    an inverse ``^p`` (SPARQL inverse path: matches obj->subj)."""
+    if isinstance(pred, str) and pred.startswith("^"):
+        return _pred_edge(triples, pred[1:]).select(
+            F.col("b").alias("a"), F.col("a").alias("b")
+        )
+    if isinstance(pred, str):
+        cond = F.col("pred") == F.lit(pred)
+    else:
+        alts = list(pred)
+        if not alts:
+            raise ValueError("empty predicate alternation")
+        inv = [p[1:] for p in alts if p.startswith("^")]
+        fwd = [p for p in alts if not p.startswith("^")]
+        parts = []
+        if fwd:
+            parts.append(
+                triples.filter(F.col("pred").isin(fwd)).select(
+                    F.col("subj").alias("a"), F.col("obj").alias("b")
+                )
+            )
+        if inv:
+            parts.append(
+                triples.filter(F.col("pred").isin(inv)).select(
+                    F.col("obj").alias("a"), F.col("subj").alias("b")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return triples.filter(cond).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b")
+    )
+
+
+def path_pairs(
+    triples: DataFrame, pred, min_hops: int, max_hops: int
+) -> DataFrame:
+    """Distinct (a, b) endpoint pairs connected by a ``pred`` path of
+    ``min_hops..max_hops`` edges — the bounded fragment of SPARQL
+    property paths (``p{m,n}``), path EXISTENCE semantics (set, not
+    bag). ``pred`` accepts the same forms as a pattern predicate:
+    name, ``^name``, or an alternation list.
+
+    Execution: iterated equi-join of the (deduped, persisted) single-
+    hop edge set against the growing frontier, distinct after every
+    hop so intermediate cardinality is bounded by |V|^2 worst case and
+    in practice by the reachable pair set — the same frontier shape as
+    ``graph.n_hop``. Bounded by ``MAX_PATH_HOPS``; unbounded closure
+    is explicitly out of scope (see module constant).
+    """
+    if not (1 <= min_hops <= max_hops <= MAX_PATH_HOPS):
+        raise ValueError(
+            f"path hops must satisfy 1 <= min <= max <= {MAX_PATH_HOPS}: "
+            f"({min_hops}, {max_hops})"
+        )
+    # No persist: the single-hop edge subtree repeats across levels,
+    # but its distinct is an identical exchange every time, so Spark's
+    # ReuseExchange computes it once per action — and leaving it
+    # unpersisted keeps this module free of caller-invisible caches
+    # (the repo's zero-leaked-cache rule).
+    edge = _pred_edge(triples, pred).distinct()
+    hop_b = edge.select(F.col("a").alias("m"), F.col("b"))
+    levels = [edge] if min_hops <= 1 else []
+    cur = edge
+    for k in range(2, max_hops + 1):
+        cur = (
+            cur.select("a", F.col("b").alias("m"))
+            .join(hop_b, "m")
+            .select("a", "b")
+            .distinct()
+        )
+        if k >= min_hops:
+            levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.distinct()
+
+
+class Path:
+    """Bounded property-path predicate for a pattern's middle term:
+    ``Path("knows", 1, 3)`` matches subject→object pairs connected by
+    1..3 ``knows`` edges (SPARQL ``knows{1,3}``); the predicate also
+    accepts ``^name`` (inverse) and alternation lists, composing with
+    :func:`path_pairs`."""
+
+    __slots__ = ("pred", "min_hops", "max_hops")
+
+    def __init__(self, pred, min_hops: int = 1, max_hops: int = 1):
+        self.pred = pred
+        self.min_hops = min_hops
+        self.max_hops = max_hops
+
+    def __repr__(self) -> str:  # error messages
+        return f"Path({self.pred!r}, {self.min_hops}, {self.max_hops})"
+
+
+def _endpoint_scan(
+    triples: DataFrame, pattern: Pattern
+) -> tuple[DataFrame, set]:
+    """Scan for patterns whose predicate is a Path, an inverse ``^p``,
+    or an alternation list: resolve the predicate to (a, b) endpoint
+    pairs, then bind the subject/object terms exactly like positions
+    of a plain scan."""
+    s_term, p_term, o_term = pattern
+    if isinstance(p_term, Path):
+        pairs = path_pairs(
+            triples, p_term.pred, p_term.min_hops, p_term.max_hops
+        )
+    else:
+        pairs = _pred_edge(triples, p_term)
+    df = pairs
+    var_to_cols: dict[str, list] = {}
+    for col_, term in (("a", s_term), ("b", o_term)):
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"empty variable name in {pattern!r}")
+            var_to_cols.setdefault(name, []).append(col_)
+        else:
+            df = df.filter(F.col(col_) == F.lit(term))
+    for name, cols in var_to_cols.items():
+        for extra in cols[1:]:
+            df = df.filter(F.col(cols[0]) == F.col(extra))
+    proj = [F.col(cols[0]).alias(name) for name, cols in var_to_cols.items()]
+    if not proj:
+        return df.select(F.lit(1).alias("__exists")).limit(1), set()
+    return df.select(*proj), set(var_to_cols)
 
 
 def _scan(triples: DataFrame, pattern: Pattern) -> tuple[DataFrame, set]:
@@ -62,9 +201,16 @@ def _scan(triples: DataFrame, pattern: Pattern) -> tuple[DataFrame, set]:
     Returns (DataFrame with one column per distinct variable, set of
     variable names). Bound positions become pushed-down equality
     filters; a repeated variable becomes an intra-scan equality.
+    Predicates that are Paths, inverses, or alternations route through
+    the endpoint scan.
     """
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (s, p, o): {pattern!r}")
+    p_term = pattern[1]
+    if isinstance(p_term, Path) or not isinstance(p_term, str) or (
+        p_term.startswith("^")
+    ):
+        return _endpoint_scan(triples, pattern)
     df = triples
     var_to_cols: dict[str, list] = {}
     for pos, term in zip(_POSITIONS, pattern):

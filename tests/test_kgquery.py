@@ -174,3 +174,101 @@ class TestBgp:
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan
         assert "in_nation" in plan  # bound pred reached the scan
+
+
+def brute_pairs(triples, pred, lo, hi):
+    """Reference bounded-path endpoint pairs (set semantics)."""
+
+    def edges_for(p):
+        if isinstance(p, str) and p.startswith("^"):
+            return [(o, s) for (s, pp, o) in triples if pp == p[1:]]
+        if isinstance(p, str):
+            return [(s, o) for (s, pp, o) in triples if pp == p]
+        out = []
+        for q in p:
+            out += edges_for(q)
+        return out
+
+    e = set(edges_for(pred))
+    result = set()
+    cur = set(e)
+    if lo <= 1:
+        result |= cur
+    for k in range(2, hi + 1):
+        cur = {(a, c) for (a, b) in cur for (b2, c) in e if b2 == b}
+        if k >= lo:
+            result |= cur
+    return sorted(result)
+
+
+class TestPaths:
+    def test_path_pairs_one_to_two_hops(self, triples_df):
+        from antnre_spark.kgquery import path_pairs
+
+        got_pairs = sorted(
+            tuple(r) for r in path_pairs(triples_df, "knows", 1, 2).collect()
+        )
+        assert got_pairs == brute_pairs(TRIPLES, "knows", 1, 2)
+
+    def test_path_pattern_exact_two(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        q = bgp_query(triples_df, [("?a", Path("knows", 2, 2), "?c")])
+        assert got(q) == brute_pairs(TRIPLES, "knows", 2, 2)
+
+    def test_path_cycle_endpoints(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        # 3-hop knows cycle: exactly the triangle members return to self
+        q = bgp_query(triples_df, [("?x", Path("knows", 3, 3), "?x")])
+        expect = sorted(
+            (a,) for (a, b) in brute_pairs(TRIPLES, "knows", 3, 3) if a == b
+        )
+        assert got(q) == expect
+
+    def test_path_composes_with_plain_pattern(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        q = bgp_query(
+            triples_df,
+            [("?a", Path("knows", 1, 2), "?c"), ("?c", "in_nation", "?n")],
+        )
+        pairs = brute_pairs(TRIPLES, "knows", 1, 2)
+        expect = sorted(
+            (a, c, n)
+            for (a, c) in pairs
+            for (c2, p, n) in TRIPLES
+            if c2 == c and p == "in_nation"
+        )
+        assert got(q) == expect
+
+    def test_inverse_predicate(self, triples_df):
+        q = bgp_query(triples_df, [("?n", "^in_nation", "?c")])
+        # default select is sorted var names -> (c, n)
+        expect = sorted(
+            (s, o) for (s, p, o) in TRIPLES if p == "in_nation"
+        )
+        assert got(q) == expect
+
+    def test_alternation_bag_semantics(self, triples_df):
+        q = bgp_query(triples_df, [("?a", ["knows", "likes"], "?b")])
+        expect = sorted(
+            (s, o) for (s, p, o) in TRIPLES if p in ("knows", "likes")
+        )
+        assert got(q) == expect
+
+    def test_fully_bound_path_gate(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        base = [("?r", "part_of", "w")]
+        yes = bgp_query(triples_df, base + [("c1", Path("knows", 1, 3), "c3")])
+        no = bgp_query(triples_df, base + [("c1", Path("knows", 1, 1), "c3")])
+        assert yes.count() == 2 and no.count() == 0
+
+    def test_hop_bounds_validated(self, triples_df):
+        from antnre_spark.kgquery import Path, path_pairs
+
+        with pytest.raises(ValueError, match="hops"):
+            path_pairs(triples_df, "knows", 0, 2)
+        with pytest.raises(ValueError, match="hops"):
+            bgp_query(triples_df, [("?a", Path("knows", 1, 99), "?b")])

@@ -1,0 +1,130 @@
+"""kg_query job — BGP queries over a materialized KG run (SURVEY.md
+§2.H H7): the read-side spark-submit surface. Compiles a JSON query
+spec into a DataFrame join tree via ``antnre_spark.kgquery`` and runs
+it against the run's ``triples`` table, composing with jobs/extract.py
++ jobs/link_materialize.py exactly like jobs/graph_analytics.py does.
+
+spark-submit --py-files kg.zip jobs/kg_query.py --out <table root> \\
+    --query q.json [--write NAME] [--show 10]
+
+Query spec (JSON object):
+
+  {"patterns":  [["?p", "Work_For", "?org"],
+                 ["?org", "OrgBased_In", "?loc"]],
+   "optional":  [[["?p", "Live_In", "?home"]]],     # groups, left-joined
+   "filters":   ["loc LIKE 'Loc:%'"],               # SQL over variables
+   "select":    ["p", "org", "loc", "home"],
+   "distinct":  false}
+
+A pattern predicate may also be an alternation list
+(``["Live_In", "Located_In"]``), an inverse (``"^Work_For"``), or a
+bounded property path (``{"path": "Located_In", "min": 1, "max": 3}``).
+
+Prints ONE JSON line: row count, the variable columns, and up to
+``--show`` sample rows (sorted — deterministic); nothing else reaches
+the driver. ``--write NAME`` additionally materializes the full result
+as the IceLite table <out>/query_NAME (full-table overwrite, so
+re-running a named query replaces its previous rows).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from antnre_spark.icelite import IceLite  # noqa: E402
+from antnre_spark.kgquery import Path as KPath, bgp_query  # noqa: E402
+from antnre_spark.session import get_spark  # noqa: E402
+
+
+def _decode_pred(term):
+    if isinstance(term, dict):
+        unknown = set(term) - {"path", "min", "max"}
+        if unknown or "path" not in term:
+            raise SystemExit(
+                f"path predicate must be {{'path': p, 'min': m, 'max': n}}: "
+                f"{term!r}"
+            )
+        return KPath(
+            term["path"], int(term.get("min", 1)), int(term.get("max", 1))
+        )
+    return term
+
+
+def _decode_patterns(raw, what: str):
+    out = []
+    for p in raw:
+        if not isinstance(p, list) or len(p) != 3:
+            raise SystemExit(f"{what} pattern must be a [s, p, o] list: {p!r}")
+        out.append((p[0], _decode_pred(p[1]), p[2]))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True, help="pipeline table root")
+    ap.add_argument("--query", required=True, help="JSON query spec file")
+    ap.add_argument(
+        "--write",
+        default=None,
+        metavar="NAME",
+        help="materialize the result as <out>/query_NAME",
+    )
+    ap.add_argument("--show", type=int, default=10)
+    args = ap.parse_args()
+
+    with open(args.query) as fh:
+        spec = json.load(fh)
+    unknown = set(spec) - {
+        "patterns", "optional", "filters", "select", "distinct",
+    }
+    if unknown:
+        raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
+
+    spark = get_spark("kg_query")
+    triples = IceLite(f"{args.out}/triples").load(spark)
+    if triples is None:
+        raise SystemExit(
+            "no triples table under --out: run jobs/extract.py and "
+            "jobs/link_materialize.py first"
+        )
+    result = bgp_query(
+        triples,
+        patterns=_decode_patterns(spec.get("patterns", []), "required"),
+        optional_patterns=[
+            _decode_patterns(g, "optional") for g in spec.get("optional", [])
+        ]
+        or None,
+        filters=spec.get("filters") or None,
+        select=spec.get("select") or None,
+        distinct=bool(spec.get("distinct", False)),
+    )
+    if args.write:
+        snap = IceLite(f"{args.out}/query_{args.write}").overwrite(result)
+        n = IceLite(f"{args.out}/query_{args.write}").manifest(snap)[
+            "total_rows"
+        ]
+    else:
+        n = result.count()
+    cols = result.columns
+    sample = [
+        list(r) for r in result.orderBy(*cols).limit(args.show).collect()
+    ]  # bounded: --show rows
+    print(
+        json.dumps(
+            {
+                "rows": n,
+                "columns": cols,
+                "sample": sample,
+                **({"written": f"query_{args.write}"} if args.write else {}),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,14 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
             "pass": eff >= 0.8,
         }
+        # best-of-N secondary (continuity with the r4/r5 criterion rows,
+        # which used best-of-2): min is optimistic under sustained load
+        # but robust to one mid-level window flip in either sample.
+        if "queries_min" in lo and "queries_min" in hi:
+            m_lo, m_hi = lo["queries_min"][qname], hi["queries_min"][qname]
+            report["queries"][qname]["scaling_efficiency_best"] = round(
+                (turns / m_hi) / (4 * (turns / m_lo)), 3
+            )
         md_rows.append(
             f"| {qname} | local[{n}] | {turns} | {t_lo} | {round(thr_lo,1)} |\n"
             f"| {qname} | local[{n4}] | {turns} | {t_hi} | {round(thr_hi,1)} |\n"

@@ -341,3 +341,60 @@ def bgp_query(
         raise ValueError(f"select names unknown variables: {missing}")
     acc = acc.select(*out_cols)
     return acc.distinct() if distinct else acc
+
+
+def construct(
+    triples: DataFrame,
+    patterns: list[Pattern],
+    template: list[Pattern],
+    optional_patterns: list[list[Pattern]] | None = None,
+    filters: list[str] | None = None,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL-CONSTRUCT fragment: run the BGP, then instantiate each
+    ``template`` triple (terms are variables or literals) once per
+    binding — deriving a NEW graph from the matched one (e.g. collapse
+    a 2-hop chain into a direct edge). Output schema is the triples
+    schema (subj, pred, obj); per the CONSTRUCT spec the result is a
+    SET (distinct) and template rows with an unbound (NULL, from an
+    OPTIONAL) variable are dropped.
+
+    The derived graph is IceLite/`materialize`-shaped, so it composes:
+    feed it back to ``bgp_query``/``graph.kg_edges`` or write it as a
+    table via ``jobs/kg_query.py --construct``.
+    """
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    tvars = {t[1:] for pat in template for t in pat if _is_var(t)}
+    bind = bgp_query(
+        triples,
+        patterns,
+        optional_patterns=optional_patterns,
+        filters=filters,
+        select=sorted(tvars) or None,
+        allow_cartesian=allow_cartesian,
+    )
+
+    def term(t):
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
+
+    parts = []
+    for pat in template:
+        if len(pat) != 3 or any(not isinstance(t, str) for t in pat):
+            raise ValueError(
+                f"template triple must be 3 plain terms: {pat!r}"
+            )
+        row = bind.select(
+            term(pat[0]).alias("subj"),
+            term(pat[1]).alias("pred"),
+            term(pat[2]).alias("obj"),
+        )
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(
+        F.col("subj").isNotNull()
+        & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull()
+    ).distinct()

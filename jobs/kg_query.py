@@ -37,7 +37,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from antnre_spark.icelite import IceLite  # noqa: E402
-from antnre_spark.kgquery import Path as KPath, bgp_query  # noqa: E402
+from antnre_spark.kgquery import (  # noqa: E402
+    Path as KPath,
+    bgp_query,
+    construct,
+)
 from antnre_spark.session import get_spark  # noqa: E402
 
 
@@ -81,9 +85,17 @@ def main() -> None:
         spec = json.load(fh)
     unknown = set(spec) - {
         "patterns", "optional", "filters", "select", "distinct",
+        "construct",
     }
     if unknown:
         raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
+    if "construct" in spec and (
+        spec.get("select") or spec.get("distinct")
+    ):
+        raise SystemExit(
+            "'construct' replaces select/distinct (its output is the "
+            "distinct derived triple set)"
+        )
 
     spark = get_spark("kg_query")
     triples = IceLite(f"{args.out}/triples").load(spark)
@@ -92,17 +104,34 @@ def main() -> None:
             "no triples table under --out: run jobs/extract.py and "
             "jobs/link_materialize.py first"
         )
-    result = bgp_query(
-        triples,
-        patterns=_decode_patterns(spec.get("patterns", []), "required"),
-        optional_patterns=[
-            _decode_patterns(g, "optional") for g in spec.get("optional", [])
+    patterns = _decode_patterns(spec.get("patterns", []), "required")
+    optional = [
+        _decode_patterns(g, "optional") for g in spec.get("optional", [])
+    ] or None
+    if "construct" in spec:
+        template = [
+            (p[0], p[1], p[2])
+            for p in spec["construct"]
+            if isinstance(p, list) and len(p) == 3
         ]
-        or None,
-        filters=spec.get("filters") or None,
-        select=spec.get("select") or None,
-        distinct=bool(spec.get("distinct", False)),
-    )
+        if len(template) != len(spec["construct"]):
+            raise SystemExit("construct template rows must be [s, p, o]")
+        result = construct(
+            triples,
+            patterns,
+            template,
+            optional_patterns=optional,
+            filters=spec.get("filters") or None,
+        )
+    else:
+        result = bgp_query(
+            triples,
+            patterns=patterns,
+            optional_patterns=optional,
+            filters=spec.get("filters") or None,
+            select=spec.get("select") or None,
+            distinct=bool(spec.get("distinct", False)),
+        )
     if args.write:
         snap = IceLite(f"{args.out}/query_{args.write}").overwrite(result)
         n = IceLite(f"{args.out}/query_{args.write}").manifest(snap)[

@@ -272,3 +272,87 @@ class TestPaths:
             path_pairs(triples_df, "knows", 0, 2)
         with pytest.raises(ValueError, match="hops"):
             bgp_query(triples_df, [("?a", Path("knows", 1, 99), "?b")])
+
+
+class TestConstruct:
+    def test_collapse_chain_to_direct_edge(self, triples_df):
+        from antnre_spark.kgquery import construct
+
+        out = construct(
+            triples_df,
+            patterns=[("?c", "in_nation", "?n"), ("?n", "in_region", "?r")],
+            template=[("?c", "in_region2", "?r")],
+        )
+        expect = sorted(
+            {
+                (c, "in_region2", r)
+                for (c, _, n) in [t for t in TRIPLES if t[1] == "in_nation"]
+                for (n2, _, r) in [t for t in TRIPLES if t[1] == "in_region"]
+                if n2 == n
+            }
+        )
+        assert got(out) == expect
+        assert out.columns == ["subj", "pred", "obj"]
+
+    def test_multi_template_and_literal_terms(self, triples_df):
+        from antnre_spark.kgquery import construct
+
+        out = construct(
+            triples_df,
+            patterns=[("?c", "in_nation", "n1")],
+            template=[("?c", "kind", "resident"), ("n1", "has", "?c")],
+        )
+        members = sorted(
+            {s for (s, p, o) in TRIPLES if p == "in_nation" and o == "n1"}
+        )
+        expect = sorted(
+            [(m, "kind", "resident") for m in members]
+            + [("n1", "has", m) for m in members]
+        )
+        assert got(out) == expect
+
+    def test_unbound_optional_rows_dropped(self, triples_df):
+        from antnre_spark.kgquery import construct
+
+        # ?f unbound for customers who know no one -> those template
+        # rows are dropped (SPARQL CONSTRUCT semantics), but c4 (knows
+        # via c1) etc. survive
+        out = construct(
+            triples_df,
+            patterns=[("?c", "in_nation", "?n")],
+            optional_patterns=[[("?c", "knows", "?f")]],
+            template=[("?c", "friend", "?f")],
+        )
+        expect = sorted(
+            {
+                (s, "friend", o)
+                for (s, p, o) in TRIPLES
+                if p == "knows"
+                and any(
+                    t[0] == s and t[1] == "in_nation" for t in TRIPLES
+                )
+            }
+        )
+        assert got(out) == expect
+
+    def test_composes_with_bgp_query(self, triples_df):
+        from antnre_spark.kgquery import bgp_query, construct
+
+        derived = construct(
+            triples_df,
+            patterns=[("?c", "in_nation", "?n"), ("?n", "in_region", "?r")],
+            template=[("?c", "in_region2", "?r")],
+        )
+        back = bgp_query(derived, [("?c", "in_region2", "r1")])
+        expect = sorted(
+            (c,)
+            for (c, _, n) in [t for t in TRIPLES if t[1] == "in_nation"]
+            if (n, "in_region", "r1") in TRIPLES
+        )
+        assert got(back) == expect
+
+    def test_empty_template_raises(self, triples_df):
+        from antnre_spark.kgquery import construct
+
+        with pytest.raises(ValueError, match="template"):
+            construct(triples_df, [("?a", "knows", "?b")], [])

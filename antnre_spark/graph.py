@@ -483,8 +483,13 @@ def n_hop(
     Frontier expansion per hop: one join of edges against the (small)
     frontier, a distinct, and an anti-join against the visited set —
     the standard scalable BFS; no per-vertex driver state. The frontier
-    is typically tiny relative to edges, so Catalyst/AQE broadcasts it;
-    visited grows monotonically and is lineage-cut every hop.
+    is typically tiny relative to edges, so Catalyst/AQE broadcasts it.
+    Each hop's NEW frontier is checkpointed (it is also the early-exit
+    probe); ``visited`` is kept as the lazy UNION of those materialized
+    frames rather than re-checkpointed per hop — re-materializing the
+    union copied the entire visited set O(V) once per hop (O(V·n)
+    total), while the union of ≤n checkpoint-backed frames costs one
+    plan node per hop and nothing at runtime until scanned.
     """
     if direction == "out":
         step = edges.select("src", "dst")
@@ -513,6 +518,6 @@ def n_hop(
         nxt = _cut_lineage(nxt)
         if nxt.isEmpty():  # bounded probe; BFS done early
             break
-        visited = _cut_lineage(visited.unionByName(nxt))
+        visited = visited.unionByName(nxt)  # union of checkpointed frames
         frontier = nxt.select("v")
     return visited.select(F.col("v").alias("vertex"), "hop")

@@ -318,9 +318,13 @@ def bgp_query(
     ``patterns``: required conjunctive patterns; ``optional_patterns``:
     groups left-joined on their shared variables (unmatched → NULL,
     SPARQL OPTIONAL); ``filters``: SQL boolean expressions over the
-    variable columns, applied after the required joins (Catalyst
-    pushes them down when legal); ``select``: variable names to
-    project (default: all, sorted); ``distinct``: set semantics.
+    REQUIRED-pattern variable columns, applied after the required
+    joins and BEFORE the optional joins (Catalyst pushes them down
+    when legal) — a filter naming an optional-only variable is an
+    analysis error by design; filter optional bindings on the returned
+    DataFrame instead, where NULL-vs-bound is explicit; ``select``:
+    variable names to project (default: all, sorted); ``distinct``:
+    set semantics.
     """
     acc, acc_vars = _join_group(triples, patterns, allow_cartesian)
     for expr in filters or []:

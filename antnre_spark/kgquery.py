@@ -308,6 +308,7 @@ def bgp_query(
     patterns: list[Pattern],
     optional_patterns: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
+    post_filters: list[str] | None = None,
     select: list[str] | None = None,
     distinct: bool = False,
     allow_cartesian: bool = False,
@@ -321,10 +322,14 @@ def bgp_query(
     REQUIRED-pattern variable columns, applied after the required
     joins and BEFORE the optional joins (Catalyst pushes them down
     when legal) — a filter naming an optional-only variable is an
-    analysis error by design; filter optional bindings on the returned
-    DataFrame instead, where NULL-vs-bound is explicit; ``select``:
-    variable names to project (default: all, sorted); ``distinct``:
-    set semantics.
+    analysis error by design; ``post_filters``: SQL boolean
+    expressions applied AFTER the optional joins, where optional
+    variables are visible and NULL when unbound (SPARQL's
+    ``FILTER(!bound(?x))`` idiom is ``"x IS NULL"`` here) — these
+    cannot be pushed below the left joins when they reference
+    optional variables, so prefer ``filters`` for anything that only
+    names required variables; ``select``: variable names to project
+    (default: all, sorted); ``distinct``: set semantics.
     """
     acc, acc_vars = _join_group(triples, patterns, allow_cartesian)
     for expr in filters or []:
@@ -339,6 +344,8 @@ def bgp_query(
             )
         acc = acc.join(opt, on=shared, how="left")
         acc_vars |= ovars
+    for expr in post_filters or []:
+        acc = acc.filter(F.expr(expr))
     out_cols = select if select is not None else sorted(acc_vars)
     missing = [c for c in out_cols if c not in acc.columns]
     if missing:
@@ -353,6 +360,7 @@ def construct(
     template: list[Pattern],
     optional_patterns: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
+    post_filters: list[str] | None = None,
     allow_cartesian: bool = False,
 ) -> DataFrame:
     """SPARQL-CONSTRUCT fragment: run the BGP, then instantiate each
@@ -375,6 +383,7 @@ def construct(
         patterns,
         optional_patterns=optional_patterns,
         filters=filters,
+        post_filters=post_filters,
         select=sorted(tvars) or None,
         allow_cartesian=allow_cartesian,
     )

@@ -12,7 +12,8 @@ Query spec (JSON object):
   {"patterns":  [["?p", "Work_For", "?org"],
                  ["?org", "OrgBased_In", "?loc"]],
    "optional":  [[["?p", "Live_In", "?home"]]],     # groups, left-joined
-   "filters":   ["loc LIKE 'Loc:%'"],               # SQL over variables
+   "filters":   ["loc LIKE 'Loc:%'"],               # SQL over required vars
+   "post_filters": ["home IS NULL"],                # after OPTIONAL joins
    "select":    ["p", "org", "loc", "home"],
    "distinct":  false}
 
@@ -84,8 +85,8 @@ def main() -> None:
     with open(args.query) as fh:
         spec = json.load(fh)
     unknown = set(spec) - {
-        "patterns", "optional", "filters", "select", "distinct",
-        "construct",
+        "patterns", "optional", "filters", "post_filters", "select",
+        "distinct", "construct",
     }
     if unknown:
         raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
@@ -122,6 +123,7 @@ def main() -> None:
             template,
             optional_patterns=optional,
             filters=spec.get("filters") or None,
+            post_filters=spec.get("post_filters") or None,
         )
     else:
         result = bgp_query(
@@ -129,6 +131,7 @@ def main() -> None:
             patterns=patterns,
             optional_patterns=optional,
             filters=spec.get("filters") or None,
+            post_filters=spec.get("post_filters") or None,
             select=spec.get("select") or None,
             distinct=bool(spec.get("distinct", False)),
         )

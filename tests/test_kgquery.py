@@ -135,6 +135,44 @@ class TestBgp:
             brute(TRIPLES, pats, optional=opt)
         )
 
+    def test_post_filter_negation_by_failure(self, triples_df):
+        # SPARQL FILTER(!bound(?f)): entities that know NOBODY —
+        # post_filters see optional vars as NULL when unbound.
+        pats = [("?c", "in_nation", "?n")]
+        opt = [[("?c", "knows", "?f")]]
+        expect = [
+            row
+            for row in brute(TRIPLES, pats, optional=opt)
+            if row[1] is None  # columns sorted: (c, f, n)
+        ]
+        assert got(
+            bgp_query(
+                triples_df, pats, optional_patterns=opt,
+                post_filters=["f IS NULL"],
+            )
+        ) == expect
+        # bound side: same as filtering the returned DataFrame
+        base = bgp_query(triples_df, pats, optional_patterns=opt)
+        assert got(
+            bgp_query(
+                triples_df, pats, optional_patterns=opt,
+                post_filters=["f IS NOT NULL"],
+            )
+        ) == got(base.filter("f IS NOT NULL"))
+
+    def test_filter_on_optional_var_is_analysis_error(self, triples_df):
+        # pre-OPTIONAL `filters` cannot name optional-only variables —
+        # pinned contract (see bgp_query docstring).
+        from pyspark.errors import AnalysisException
+
+        pats = [("?c", "in_nation", "?n")]
+        opt = [[("?c", "knows", "?f")]]
+        with pytest.raises(AnalysisException):
+            bgp_query(
+                triples_df, pats, optional_patterns=opt,
+                filters=["f IS NULL"],
+            ).collect()
+
     def test_existence_gate_true_false(self, triples_df):
         pats = [("?c", "in_nation", "?n")]
         with_true = bgp_query(triples_df, pats + [("r1", "part_of", "w")])

@@ -354,6 +354,59 @@ def bgp_query(
     return acc.distinct() if distinct else acc
 
 
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: list[Pattern],
+    group_by: list[str],
+    aggs: dict[str, str],
+    optional_patterns: list[list[Pattern]] | None = None,
+    filters: list[str] | None = None,
+    post_filters: list[str] | None = None,
+    having: list[str] | None = None,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL GROUP BY fragment: aggregate the BGP's variable bindings.
+
+    ``group_by``: variable names forming the grouping key (empty list =
+    one global group); ``aggs``: output column -> SQL aggregate
+    expression over the variable columns (``{"n_staff": "count(DISTINCT
+    p)"}``); ``having``: SQL boolean expressions over the grouping keys
+    and aggregate aliases, applied after the aggregation (SPARQL
+    HAVING). Pattern/filter semantics are exactly ``bgp_query``'s.
+
+    Scale posture: the plan is the BGP join tree feeding a hash
+    aggregate on the grouping variables — Catalyst emits a partial
+    (map-side) aggregate before the exchange, so per-group state, not
+    bindings, crosses the shuffle; a hub group costs one combiner per
+    upstream partition, not a row per binding.
+    """
+    if not aggs:
+        raise ValueError("empty aggs: provide at least one aggregate")
+    bind = bgp_query(
+        triples,
+        patterns,
+        optional_patterns=optional_patterns,
+        filters=filters,
+        post_filters=post_filters,
+        allow_cartesian=allow_cartesian,
+    )
+    missing = [g for g in group_by if g not in bind.columns]
+    if missing:
+        raise ValueError(f"group_by names unknown variables: {missing}")
+    clash = [name for name in aggs if name in group_by]
+    if clash:
+        raise ValueError(f"agg aliases collide with group_by: {clash}")
+    exprs = [F.expr(e).alias(name) for name, e in sorted(aggs.items())]
+    out = (
+        bind.groupBy(*group_by).agg(*exprs)
+        if group_by
+        else bind.agg(*exprs)
+    )
+    for expr in having or []:
+        out = out.filter(F.expr(expr))
+    return out
+
+
 def construct(
     triples: DataFrame,
     patterns: list[Pattern],

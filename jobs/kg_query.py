@@ -21,6 +21,17 @@ A pattern predicate may also be an alternation list
 (``["Live_In", "Located_In"]``), an inverse (``"^Work_For"``), or a
 bounded property path (``{"path": "Located_In", "min": 1, "max": 3}``).
 
+Aggregation (SPARQL GROUP BY; replaces select/distinct/construct):
+
+  {"patterns": [["?p", "Work_For", "?org"]],
+   "group_by": ["org"],                      # [] = one global group
+   "aggs":     {"n_staff": "count(DISTINCT p)"},
+   "having":   ["n_staff >= 3"],             # post-aggregation filter
+   "order_by": ["n_staff DESC", "org"],      # any result may order...
+   "limit":    10}                           # ...and/or limit (top-k:
+                                             # TakeOrderedAndProject,
+                                             # never a full sort)
+
 Prints ONE JSON line: row count, the variable columns, and up to
 ``--show`` sample rows (sorted — deterministic); nothing else reaches
 the driver. ``--write NAME`` additionally materializes the full result
@@ -38,8 +49,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from antnre_spark.icelite import IceLite  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from antnre_spark.kgquery import (  # noqa: E402
     Path as KPath,
+    bgp_aggregate,
     bgp_query,
     construct,
 )
@@ -86,7 +100,8 @@ def main() -> None:
         spec = json.load(fh)
     unknown = set(spec) - {
         "patterns", "optional", "filters", "post_filters", "select",
-        "distinct", "construct",
+        "distinct", "construct", "group_by", "aggs", "having",
+        "order_by", "limit",
     }
     if unknown:
         raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
@@ -96,6 +111,16 @@ def main() -> None:
         raise SystemExit(
             "'construct' replaces select/distinct (its output is the "
             "distinct derived triple set)"
+        )
+    has_agg = any(k in spec for k in ("group_by", "aggs", "having"))
+    if has_agg and not spec.get("aggs"):
+        raise SystemExit("'group_by'/'having' require 'aggs'")
+    if has_agg and any(
+        k in spec for k in ("construct", "select", "distinct")
+    ):
+        raise SystemExit(
+            "'aggs' replaces construct/select/distinct (its output "
+            "columns are the group_by keys plus the agg aliases)"
         )
 
     spark = get_spark("kg_query")
@@ -125,6 +150,17 @@ def main() -> None:
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
         )
+    elif has_agg:
+        result = bgp_aggregate(
+            triples,
+            patterns=patterns,
+            group_by=spec.get("group_by") or [],
+            aggs=spec["aggs"],
+            optional_patterns=optional,
+            filters=spec.get("filters") or None,
+            post_filters=spec.get("post_filters") or None,
+            having=spec.get("having") or None,
+        )
     else:
         result = bgp_query(
             triples,
@@ -135,6 +171,16 @@ def main() -> None:
             select=spec.get("select") or None,
             distinct=bool(spec.get("distinct", False)),
         )
+    if spec.get("order_by"):
+        # explicit ORDER BY; with "limit" Spark plans
+        # TakeOrderedAndProject (top-k per partition + driver merge),
+        # never a full sort. Ties are broken arbitrarily — include a
+        # tie-breaker column for fully deterministic top-k.
+        result = result.orderBy(
+            *[F.expr(e) for e in spec["order_by"]]
+        )
+    if spec.get("limit") is not None:
+        result = result.limit(int(spec["limit"]))
     if args.write:
         snap = IceLite(f"{args.out}/query_{args.write}").overwrite(result)
         n = IceLite(f"{args.out}/query_{args.write}").manifest(snap)[

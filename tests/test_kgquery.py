@@ -214,6 +214,90 @@ class TestBgp:
         assert "in_nation" in plan  # bound pred reached the scan
 
 
+class TestAggregate:
+    def test_group_count_vs_brute(self, triples_df):
+        from collections import Counter
+
+        from antnre_spark.kgquery import bgp_aggregate
+
+        pats = [("?c", "in_nation", "?n"), ("?n", "in_region", "?r")]
+        counts = Counter(row[1] for row in brute(TRIPLES, pats))  # (c,n,r)
+        assert got(
+            bgp_aggregate(
+                triples_df, pats, group_by=["n"],
+                aggs={"members": "count(*)"},
+            )
+        ) == sorted(counts.items())
+
+    def test_global_group_distinct_and_having(self, triples_df):
+        from antnre_spark.kgquery import bgp_aggregate
+
+        pats = [("?c", "in_nation", "?n")]
+        # one global group: [] group_by
+        rows = brute(TRIPLES, pats)  # (c, n)
+        assert got(
+            bgp_aggregate(
+                triples_df, pats, group_by=[],
+                aggs={"nations": "count(DISTINCT n)", "total": "count(*)"},
+            )
+        ) == [(len({r[1] for r in rows}), len(rows))]
+        # having keeps only the hub nation (n1: 3 members)
+        assert got(
+            bgp_aggregate(
+                triples_df, pats, group_by=["n"],
+                aggs={"members": "count(*)"}, having=["members >= 3"],
+            )
+        ) == [("n1", 3)]
+
+    def test_agg_sees_post_filtered_optional(self, triples_df):
+        from antnre_spark.kgquery import bgp_aggregate
+
+        pats = [("?c", "in_nation", "?n")]
+        opt = [[("?c", "knows", "?f")]]
+        friendless = {
+            row[0]
+            for row in brute(TRIPLES, pats, optional=opt)
+            if row[1] is None  # (c, f, n)
+        }
+        assert got(
+            bgp_aggregate(
+                triples_df, pats, group_by=[],
+                aggs={"friendless": "count(DISTINCT c)"},
+                optional_patterns=opt, post_filters=["f IS NULL"],
+            )
+        ) == [(len(friendless),)]
+
+    def test_validation_raises(self, triples_df):
+        from antnre_spark.kgquery import bgp_aggregate
+
+        pats = [("?c", "in_nation", "?n")]
+        with pytest.raises(ValueError, match="unknown"):
+            bgp_aggregate(
+                triples_df, pats, group_by=["z"], aggs={"m": "count(*)"}
+            )
+        with pytest.raises(ValueError, match="at least one"):
+            bgp_aggregate(triples_df, pats, group_by=["n"], aggs={})
+        with pytest.raises(ValueError, match="collide"):
+            bgp_aggregate(
+                triples_df, pats, group_by=["n"], aggs={"n": "count(*)"}
+            )
+
+    def test_partial_aggregate_in_plan(self, triples_df):
+        # the scale contract: a partial (map-side) hash aggregate must
+        # sit below the exchange so per-group state, not bindings,
+        # crosses the shuffle.
+        from antnre_spark.kgquery import bgp_aggregate
+
+        q = bgp_aggregate(
+            triples_df, [("?c", "in_nation", "?n")], group_by=["n"],
+            aggs={"members": "count(*)"},
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial+final
+
+
 def brute_pairs(triples, pred, lo, hi):
     """Reference bounded-path endpoint pairs (set semantics)."""
 

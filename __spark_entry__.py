@@ -975,6 +975,67 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+def q_kq_agg(spark, sf_dir):
+    """SPARQL GROUP BY fragment (kgquery.bgp_aggregate, r6): aggregate
+    the BGP's bindings — customers per nation with their optional
+    orders — grouped on the nation variable. count(o) over the
+    OPTIONAL variable counts only BOUND rows (SQL count ignores NULL =
+    SPARQL count over unbound), so order-less customers contribute to
+    members but not n_orders. Plan shape: BGP join tree feeding
+    partial+final hash aggregate (per-group state crosses the shuffle,
+    not bindings). DuckDB twin: the same LEFT JOIN + GROUP BY over the
+    UNION ALL triple CTE."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.kgquery import bgp_aggregate
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    triples = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+            "obj"
+        ),
+    ).unionByName(
+        o.select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("placed").alias("pred"),
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+                "obj"
+            ),
+        )
+    )
+    return bgp_aggregate(
+        triples,
+        patterns=[("?m", "in_nation", "?n")],
+        optional_patterns=[[("?m", "placed", "?o")]],
+        group_by=["n"],
+        aggs={"members": "count(DISTINCT m)", "n_orders": "count(o)"},
+        having=["members >= 1"],
+    )
+
+
+SQL_KQ_AGG = """
+WITH t AS (
+  SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
+         'n' || c_nationkey AS obj FROM customer
+  UNION ALL
+  SELECT 'c' || o_custkey, 'placed', 'o' || o_orderkey FROM orders
+)
+SELECT p1.obj AS n, COUNT(DISTINCT p1.subj) AS members,
+       COUNT(p2.obj) AS n_orders
+FROM t p1
+LEFT JOIN t p2 ON p2.subj = p1.subj AND p2.pred = 'placed'
+WHERE p1.pred = 'in_nation'
+GROUP BY p1.obj
+HAVING COUNT(DISTINCT p1.subj) >= 1
+"""
+
+
 SQL_KQ_BGP = """
 WITH t AS (
   SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
@@ -2528,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against their oracles locally.
         "kq_path": q_kq_path,
         "kq_construct": q_kq_construct,
+        "kq_agg": q_kq_agg,
     }
     return base
 
@@ -2626,6 +2688,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "mm_features": SQL_MM_FEATURES,
         "kq_path": SQL_KQ_PATH,
         "kq_construct": SQL_KQ_CONSTRUCT,
+        "kq_agg": SQL_KQ_AGG,
     }
     # cache ONLY complete builds: pinning a degraded dict would make a
     # transient read failure permanently skip those oracles for the rest

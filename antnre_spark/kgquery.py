@@ -307,6 +307,8 @@ def bgp_query(
     triples: DataFrame,
     patterns: list[Pattern],
     optional_patterns: list[list[Pattern]] | None = None,
+    exists_patterns: list[list[Pattern]] | None = None,
+    not_exists_patterns: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
     post_filters: list[str] | None = None,
     select: list[str] | None = None,
@@ -318,22 +320,48 @@ def bgp_query(
 
     ``patterns``: required conjunctive patterns; ``optional_patterns``:
     groups left-joined on their shared variables (unmatched → NULL,
-    SPARQL OPTIONAL); ``filters``: SQL boolean expressions over the
-    REQUIRED-pattern variable columns, applied after the required
-    joins and BEFORE the optional joins (Catalyst pushes them down
-    when legal) — a filter naming an optional-only variable is an
-    analysis error by design; ``post_filters``: SQL boolean
-    expressions applied AFTER the optional joins, where optional
-    variables are visible and NULL when unbound (SPARQL's
-    ``FILTER(!bound(?x))`` idiom is ``"x IS NULL"`` here) — these
-    cannot be pushed below the left joins when they reference
-    optional variables, so prefer ``filters`` for anything that only
-    names required variables; ``select``: variable names to project
-    (default: all, sorted); ``distinct``: set semantics.
+    SPARQL OPTIONAL); ``exists_patterns`` / ``not_exists_patterns``:
+    groups applied as correlated existence tests on their shared
+    variables — SPARQL ``FILTER (NOT) EXISTS`` — compiled to LEFT SEMI
+    / LEFT ANTI joins, so they keep or drop bindings without ever
+    multiplying them, and the group's non-shared variables stay
+    existentially quantified (never projected); a group must share ≥1
+    variable with the required patterns (an uncorrelated existence
+    test is a fully-bound GATE pattern in ``patterns``); ``filters``:
+    SQL boolean expressions over the REQUIRED-pattern variable
+    columns, applied after the required joins and BEFORE the optional
+    joins (Catalyst pushes them down when legal) — a filter naming an
+    optional-only variable is an analysis error by design;
+    ``post_filters``: SQL boolean expressions applied AFTER the
+    optional joins, where optional variables are visible and NULL when
+    unbound (SPARQL's ``FILTER(!bound(?x))`` idiom is ``"x IS NULL"``
+    here) — these cannot be pushed below the left joins when they
+    reference optional variables, so prefer ``filters`` for anything
+    that only names required variables; ``select``: variable names to
+    project (default: all, sorted); ``distinct``: set semantics.
+
+    Scale posture of the existence tests: semi/anti are hash joins on
+    the shared variables that ship only the group's DISTINCT key side
+    — AQE broadcasts it when a selective group shrinks below the
+    threshold, and no binding row ever fans out.
     """
     acc, acc_vars = _join_group(triples, patterns, allow_cartesian)
     for expr in filters or []:
         acc = acc.filter(F.expr(expr))
+    for how, groups in (
+        ("semi", exists_patterns or []),
+        ("anti", not_exists_patterns or []),
+    ):
+        for group in groups:
+            sub, svars = _join_group(triples, group, allow_cartesian)
+            shared = sorted(acc_vars & svars)
+            if not shared:
+                raise ValueError(
+                    f"existence group {group!r} shares no variable with "
+                    "the required patterns (use a fully-bound gate "
+                    "pattern for an uncorrelated existence test)"
+                )
+            acc = acc.join(sub.select(*shared), on=shared, how=how)
     for group in optional_patterns or []:
         opt, ovars = _join_group(triples, group, allow_cartesian)
         shared = sorted(acc_vars & ovars)
@@ -360,6 +388,8 @@ def bgp_aggregate(
     group_by: list[str],
     aggs: dict[str, str],
     optional_patterns: list[list[Pattern]] | None = None,
+    exists_patterns: list[list[Pattern]] | None = None,
+    not_exists_patterns: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
     post_filters: list[str] | None = None,
     having: list[str] | None = None,
@@ -386,6 +416,8 @@ def bgp_aggregate(
         triples,
         patterns,
         optional_patterns=optional_patterns,
+        exists_patterns=exists_patterns,
+        not_exists_patterns=not_exists_patterns,
         filters=filters,
         post_filters=post_filters,
         allow_cartesian=allow_cartesian,
@@ -412,6 +444,8 @@ def construct(
     patterns: list[Pattern],
     template: list[Pattern],
     optional_patterns: list[list[Pattern]] | None = None,
+    exists_patterns: list[list[Pattern]] | None = None,
+    not_exists_patterns: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
     post_filters: list[str] | None = None,
     allow_cartesian: bool = False,
@@ -435,6 +469,8 @@ def construct(
         triples,
         patterns,
         optional_patterns=optional_patterns,
+        exists_patterns=exists_patterns,
+        not_exists_patterns=not_exists_patterns,
         filters=filters,
         post_filters=post_filters,
         select=sorted(tvars) or None,

@@ -12,6 +12,8 @@ Query spec (JSON object):
   {"patterns":  [["?p", "Work_For", "?org"],
                  ["?org", "OrgBased_In", "?loc"]],
    "optional":  [[["?p", "Live_In", "?home"]]],     # groups, left-joined
+   "exists":    [[["?p", "Live_In", "?w"]]],        # FILTER EXISTS (semi)
+   "not_exists":[[["?p", "Kill", "?v"]]],           # FILTER NOT EXISTS (anti)
    "filters":   ["loc LIKE 'Loc:%'"],               # SQL over required vars
    "post_filters": ["home IS NULL"],                # after OPTIONAL joins
    "select":    ["p", "org", "loc", "home"],
@@ -99,9 +101,9 @@ def main() -> None:
     with open(args.query) as fh:
         spec = json.load(fh)
     unknown = set(spec) - {
-        "patterns", "optional", "filters", "post_filters", "select",
-        "distinct", "construct", "group_by", "aggs", "having",
-        "order_by", "limit",
+        "patterns", "optional", "exists", "not_exists", "filters",
+        "post_filters", "select", "distinct", "construct", "group_by",
+        "aggs", "having", "order_by", "limit",
     }
     if unknown:
         raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
@@ -134,6 +136,13 @@ def main() -> None:
     optional = [
         _decode_patterns(g, "optional") for g in spec.get("optional", [])
     ] or None
+    exists = [
+        _decode_patterns(g, "exists") for g in spec.get("exists", [])
+    ] or None
+    not_exists = [
+        _decode_patterns(g, "not_exists")
+        for g in spec.get("not_exists", [])
+    ] or None
     if "construct" in spec:
         template = [
             (p[0], p[1], p[2])
@@ -147,6 +156,8 @@ def main() -> None:
             patterns,
             template,
             optional_patterns=optional,
+            exists_patterns=exists,
+            not_exists_patterns=not_exists,
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
         )
@@ -157,6 +168,8 @@ def main() -> None:
             group_by=spec.get("group_by") or [],
             aggs=spec["aggs"],
             optional_patterns=optional,
+            exists_patterns=exists,
+            not_exists_patterns=not_exists,
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
             having=spec.get("having") or None,
@@ -166,6 +179,8 @@ def main() -> None:
             triples,
             patterns=patterns,
             optional_patterns=optional,
+            exists_patterns=exists,
+            not_exists_patterns=not_exists,
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
             select=spec.get("select") or None,

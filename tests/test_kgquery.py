@@ -173,6 +173,67 @@ class TestBgp:
                 filters=["f IS NULL"],
             ).collect()
 
+    def test_exists_semi_keeps_without_multiplying(self, triples_df):
+        # FILTER EXISTS: c1 knows TWO people but must appear once per
+        # base binding (semi join, not inner join).
+        pats = [("?c", "in_nation", "?n")]
+        base = brute(TRIPLES, pats)  # (c, n)
+        knowers = {s for (s, p, o) in TRIPLES if p == "knows"}
+        expect = sorted(row for row in base if row[0] in knowers)
+        assert got(
+            bgp_query(
+                triples_df, pats,
+                exists_patterns=[[("?c", "knows", "?f")]],
+            )
+        ) == expect
+
+    def test_not_exists_anti_complement(self, triples_df):
+        pats = [("?c", "in_nation", "?n")]
+        base = brute(TRIPLES, pats)
+        knowers = {s for (s, p, o) in TRIPLES if p == "knows"}
+        expect = sorted(row for row in base if row[0] not in knowers)
+        assert got(
+            bgp_query(
+                triples_df, pats,
+                not_exists_patterns=[[("?c", "knows", "?f")]],
+            )
+        ) == expect
+        # correlation through the OBJECT var: nations NOT in region r1
+        expect2 = sorted(
+            row for row in base
+            if (row[1], "in_region", "r1") not in TRIPLES
+        )
+        assert got(
+            bgp_query(
+                triples_df, pats,
+                not_exists_patterns=[[("?n", "in_region", "r1")]],
+            )
+        ) == expect2
+
+    def test_existence_group_vars_stay_quantified(self, triples_df):
+        # the group's non-shared vars (?f) are never projected
+        q = bgp_query(
+            triples_df, [("?c", "in_nation", "?n")],
+            exists_patterns=[[("?c", "knows", "?f")]],
+        )
+        assert q.columns == ["c", "n"]
+
+    def test_disjoint_existence_group_raises(self, triples_df):
+        with pytest.raises(ValueError, match="shares no variable"):
+            bgp_query(
+                triples_df, [("?c", "in_nation", "?n")],
+                not_exists_patterns=[[("?x", "part_of", "?y")]],
+            )
+
+    def test_existence_plans_semi_anti_joins(self, triples_df):
+        q = bgp_query(
+            triples_df, [("?c", "in_nation", "?n")],
+            exists_patterns=[[("?c", "knows", "?f")]],
+            not_exists_patterns=[[("?n", "in_region", "r1")]],
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+
     def test_existence_gate_true_false(self, triples_df):
         pats = [("?c", "in_nation", "?n")]
         with_true = bgp_query(triples_df, pats + [("r1", "part_of", "w")])

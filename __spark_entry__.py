@@ -1036,6 +1036,84 @@ HAVING COUNT(DISTINCT p1.subj) >= 1
 """
 
 
+def q_kq_exists(spark, sf_dir):
+    """FILTER (NOT) EXISTS fragment (kgquery, r6): customers with at
+    least one order (EXISTS -> LEFT SEMI join on the shared subject
+    var) whose nation is NOT in region r0 (NOT EXISTS -> LEFT ANTI on
+    the shared object var). Semi/anti keep-or-drop bindings without
+    multiplying them — a customer with 30 orders appears once. DuckDB
+    twin: the same query as correlated EXISTS / NOT EXISTS
+    subqueries."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.kgquery import bgp_query
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    triples = (
+        c.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("in_nation").alias("pred"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+                "obj"
+            ),
+        )
+        .unionByName(
+            n.select(
+                F.concat(
+                    F.lit("n"), F.col("n_nationkey").cast("string")
+                ).alias("subj"),
+                F.lit("in_region").alias("pred"),
+                F.concat(
+                    F.lit("r"), F.col("n_regionkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                    "subj"
+                ),
+                F.lit("placed").alias("pred"),
+                F.concat(
+                    F.lit("o"), F.col("o_orderkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+    )
+    return bgp_query(
+        triples,
+        patterns=[("?m", "in_nation", "?n")],
+        exists_patterns=[[("?m", "placed", "?o")]],
+        not_exists_patterns=[[("?n", "in_region", "r0")]],
+        distinct=True,
+    )
+
+
+SQL_KQ_EXISTS = """
+WITH t AS (
+  SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
+         'n' || c_nationkey AS obj FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey FROM nation
+  UNION ALL
+  SELECT 'c' || o_custkey, 'placed', 'o' || o_orderkey FROM orders
+)
+SELECT DISTINCT p1.subj AS m, p1.obj AS n
+FROM t p1
+WHERE p1.pred = 'in_nation'
+  AND EXISTS (SELECT 1 FROM t p2
+              WHERE p2.pred = 'placed' AND p2.subj = p1.subj)
+  AND NOT EXISTS (SELECT 1 FROM t p3
+                  WHERE p3.pred = 'in_region' AND p3.subj = p1.obj
+                    AND p3.obj = 'r0')
+"""
+
+
 SQL_KQ_BGP = """
 WITH t AS (
   SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
@@ -2590,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kq_path": q_kq_path,
         "kq_construct": q_kq_construct,
         "kq_agg": q_kq_agg,
+        "kq_exists": q_kq_exists,
     }
     return base
 
@@ -2689,6 +2768,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "kq_path": SQL_KQ_PATH,
         "kq_construct": SQL_KQ_CONSTRUCT,
         "kq_agg": SQL_KQ_AGG,
+        "kq_exists": SQL_KQ_EXISTS,
     }
     # cache ONLY complete builds: pinning a degraded dict would make a
     # transient read failure permanently skip those oracles for the rest

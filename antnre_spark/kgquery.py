@@ -311,6 +311,7 @@ def bgp_query(
     not_exists_patterns: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
     post_filters: list[str] | None = None,
+    bind: dict[str, str] | None = None,
     select: list[str] | None = None,
     distinct: bool = False,
     allow_cartesian: bool = False,
@@ -337,8 +338,12 @@ def bgp_query(
     unbound (SPARQL's ``FILTER(!bound(?x))`` idiom is ``"x IS NULL"``
     here) — these cannot be pushed below the left joins when they
     reference optional variables, so prefer ``filters`` for anything
-    that only names required variables; ``select``: variable names to
-    project (default: all, sorted); ``distinct``: set semantics.
+    that only names required variables; ``bind``: new variable -> SQL
+    expression over the bound variables (SPARQL BIND), computed after
+    the joins and post_filters, visible to ``select`` (a pure
+    projection — Catalyst collapses it into the final project, no
+    extra stage); ``select``: variable names to project (default: all,
+    sorted); ``distinct``: set semantics.
 
     Scale posture of the existence tests: semi/anti are hash joins on
     the shared variables that ship only the group's DISTINCT key side
@@ -374,6 +379,12 @@ def bgp_query(
         acc_vars |= ovars
     for expr in post_filters or []:
         acc = acc.filter(F.expr(expr))
+    for name, expr in sorted((bind or {}).items()):
+        if name in acc.columns:
+            raise ValueError(f"bind name shadows an existing variable: "
+                             f"{name!r}")
+        acc = acc.withColumn(name, F.expr(expr))
+        acc_vars |= {name}
     out_cols = select if select is not None else sorted(acc_vars)
     missing = [c for c in out_cols if c not in acc.columns]
     if missing:

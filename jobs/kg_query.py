@@ -16,6 +16,7 @@ Query spec (JSON object):
    "not_exists":[[["?p", "Kill", "?v"]]],           # FILTER NOT EXISTS (anti)
    "filters":   ["loc LIKE 'Loc:%'"],               # SQL over required vars
    "post_filters": ["home IS NULL"],                # after OPTIONAL joins
+   "bind":      {"away": "loc <> home"},            # SPARQL BIND (derived col)
    "select":    ["p", "org", "loc", "home"],
    "distinct":  false}
 
@@ -96,14 +97,22 @@ def main() -> None:
         help="materialize the result as <out>/query_NAME",
     )
     ap.add_argument("--show", type=int, default=10)
+    ap.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan before running (to "
+        "stderr; NOTE spark-submit's PythonRunner merges the python "
+        "process's stderr into stdout, so there the plan precedes the "
+        "JSON — the result JSON is always the LAST stdout line)",
+    )
     args = ap.parse_args()
 
     with open(args.query) as fh:
         spec = json.load(fh)
     unknown = set(spec) - {
         "patterns", "optional", "exists", "not_exists", "filters",
-        "post_filters", "select", "distinct", "construct", "group_by",
-        "aggs", "having", "order_by", "limit",
+        "post_filters", "bind", "select", "distinct", "construct",
+        "group_by", "aggs", "having", "order_by", "limit",
     }
     if unknown:
         raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
@@ -183,6 +192,7 @@ def main() -> None:
             not_exists_patterns=not_exists,
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
+            bind=spec.get("bind") or None,
             select=spec.get("select") or None,
             distinct=bool(spec.get("distinct", False)),
         )
@@ -196,6 +206,10 @@ def main() -> None:
         )
     if spec.get("limit") is not None:
         result = result.limit(int(spec["limit"]))
+    if args.explain:
+        print(result._sc._jvm.PythonSQLUtils.explainString(
+            result._jdf.queryExecution(), "formatted"
+        ), file=sys.stderr)
     if args.write:
         snap = IceLite(f"{args.out}/query_{args.write}").overwrite(result)
         n = IceLite(f"{args.out}/query_{args.write}").manifest(snap)[

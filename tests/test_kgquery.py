@@ -234,6 +234,35 @@ class TestBgp:
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "LeftSemi" in plan and "LeftAnti" in plan
 
+    def test_bind_derived_column(self, triples_df):
+        # SPARQL BIND: derived expression column, visible to select
+        pats = [("?c", "in_nation", "?n")]
+        rows = brute(TRIPLES, pats)  # (c, n)
+        assert got(
+            bgp_query(
+                triples_df, pats,
+                bind={"pair": "concat(c, '/', n)"}, select=["pair"],
+            )
+        ) == sorted((f"{c}/{n}",) for c, n in rows)
+        # sees post-filtered OPTIONAL bindings (NULL-aware expr)
+        opt = [[("?c", "knows", "?f")]]
+        q = bgp_query(
+            triples_df, pats, optional_patterns=opt,
+            bind={"social": "f IS NOT NULL"}, select=["c", "social"],
+        )
+        expect = sorted(
+            (row[0], row[1] is not None)
+            for row in brute(TRIPLES, pats, optional=opt)  # (c, f, n)
+        )
+        assert got(q) == expect
+
+    def test_bind_shadow_raises(self, triples_df):
+        with pytest.raises(ValueError, match="shadows"):
+            bgp_query(
+                triples_df, [("?c", "in_nation", "?n")],
+                bind={"n": "upper(c)"},
+            )
+
     def test_existence_gate_true_false(self, triples_df):
         pats = [("?c", "in_nation", "?n")]
         with_true = bgp_query(triples_df, pats + [("r1", "part_of", "w")])

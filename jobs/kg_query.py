@@ -20,6 +20,10 @@ Query spec (JSON object):
    "select":    ["p", "org", "loc", "home"],
    "distinct":  false}
 
+``"ask": true`` (SPARQL ASK) replaces select/distinct/aggregation and
+prints ``{"ask": true|false}`` — existence of ANY binding, evaluated
+with limit(1) (stops at the first row).
+
 A pattern predicate may also be an alternation list
 (``["Live_In", "Located_In"]``), an inverse (``"^Work_For"``), or a
 bounded property path (``{"path": "Located_In", "min": 1, "max": 3}``).
@@ -112,7 +116,7 @@ def main() -> None:
     unknown = set(spec) - {
         "patterns", "optional", "exists", "not_exists", "filters",
         "post_filters", "bind", "select", "distinct", "construct",
-        "group_by", "aggs", "having", "order_by", "limit",
+        "group_by", "aggs", "having", "order_by", "limit", "ask",
     }
     if unknown:
         raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
@@ -122,6 +126,18 @@ def main() -> None:
         raise SystemExit(
             "'construct' replaces select/distinct (its output is the "
             "distinct derived triple set)"
+        )
+    if spec.get("ask") and any(
+        k in spec
+        for k in (
+            "construct", "group_by", "aggs", "having", "select",
+            "distinct", "order_by", "limit",
+        )
+    ):
+        raise SystemExit(
+            "'ask' is a boolean existence test: it composes with "
+            "patterns/optional/exists/not_exists/filters/post_filters/"
+            "bind only"
         )
     has_agg = any(k in spec for k in ("group_by", "aggs", "having"))
     if has_agg and not spec.get("aggs"):
@@ -196,6 +212,12 @@ def main() -> None:
             select=spec.get("select") or None,
             distinct=bool(spec.get("distinct", False)),
         )
+    if spec.get("ask"):
+        # SPARQL ASK: does ANY binding exist? limit(1) stops the scan
+        # at the first produced row (CollectLimit — no full evaluation).
+        found = bool(result.limit(1).take(1))
+        print(json.dumps({"ask": found}))
+        return
     if spec.get("order_by"):
         # explicit ORDER BY; with "limit" Spark plans
         # TakeOrderedAndProject (top-k per partition + driver merge),

@@ -291,6 +291,200 @@ def connected_components(edges: DataFrame) -> DataFrame:
     )
 
 
+def _min_label_fixpoint(
+    edges: DataFrame, labels: DataFrame, checkpoint_every: int
+) -> DataFrame:
+    """Propagate ``lbl(v) = min(lbl(v), min over v->w of lbl(w))`` to a
+    fixpoint. ``edges``: (src, dst), persisted by the caller;
+    ``labels``: (v, lbl) initial labels. Returns the stable (v, lbl),
+    lineage-cut. Per iteration: one join on ``dst``, one map-side-
+    combined groupBy(src) min, one left join back, and ONE bounded
+    scalar action (the changed-row count) that also forces the freshly
+    persisted labels — the pagerank loop's force-once shape.
+    """
+    prev = None
+    it = 0
+    while True:
+        it += 1
+        cand = (
+            edges.join(
+                labels.select(
+                    F.col("v").alias("dst"), F.col("lbl").alias("dlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("cand"))
+        )
+        upd = (
+            labels.join(cand, labels["v"] == cand["src"], "left")
+            .select(
+                labels["v"],
+                F.least(
+                    labels["lbl"], F.coalesce(F.col("cand"), labels["lbl"])
+                ).alias("lbl"),
+                (F.col("cand") < labels["lbl"]).alias("chg"),
+            )
+            .persist()
+        )
+        changed = upd.filter("chg").count()  # bounded scalar + force
+        if prev is not None:
+            prev.unpersist()
+        prev = upd
+        labels = upd.select("v", "lbl")
+        if it % checkpoint_every == 0:
+            labels = _cut_lineage(labels)
+        if changed == 0:
+            break
+    out = _cut_lineage(labels)
+    prev.unpersist()
+    return out
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_rounds: int = 25, checkpoint_every: int = 3
+) -> DataFrame:
+    """(vertex, component) for the DIRECTED strongly connected
+    components of the edge set; component = min vertex id in the SCC
+    (total, deterministic label — the same convention as
+    :func:`connected_components`). KG use: cycle detection — taxonomy
+    loops (``subclass_of`` cycles), mutual-causation clusters in
+    derived edges — where the undirected components conflate
+    direction.
+
+    Algorithm: FW-BW-Trim, the standard distributed SCC formulation
+    [pub: Fleischer/Hendrickson/Pinar divide-and-conquer SCC; Hong et
+    al.'s trimming; Orzan-style min-label coloring]. Per round over
+    the still-active subgraph:
+
+    1. TRIM — a vertex with no in-edge or no out-edge in the active
+       subgraph cannot sit on a directed cycle, so it is peeled as a
+       singleton SCC; peeling repeats until stable (this alone
+       resolves any DAG region in diameter-many cheap join steps).
+    2. ``f(v)`` = min id reachable FROM v (forward min-label
+       fixpoint), ``b(v)`` = min id that can REACH v (the same
+       fixpoint on reversed edges). ``f(v) = b(v) = m`` means v and m
+       are mutually reachable, so all such v form SCC(m); the round
+       always resolves at least the SCC of the globally smallest
+       active id, and in practice most SCCs whose local minimum is a
+       "basin" minimum. Resolved vertices leave the active set.
+
+    Rounds are bounded by ``max_rounds`` (RuntimeError past it —
+    honest failure, not silent truncation); real KG graphs resolve in
+    a few rounds because trimming strips the acyclic bulk. Self-loop
+    edges are removed before the rounds (they never change SCC
+    membership) and a vertex whose ONLY edges were self-loops is
+    emitted as its own singleton SCC at the end. Isolated vertices
+    never appear (the input is an edge list). Per-step shuffles are
+    the module's standard shape: equi-joins + map-side-combined
+    aggregations on the edge relation, only bounded scalar counts
+    reach the driver.
+    """
+    loop_verts = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("vertex"))
+        .distinct()
+    )
+    act_e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    empty = act_e.select(
+        F.col("src").alias("vertex"), F.col("dst").alias("component")
+    ).limit(0)
+    pieces: list[DataFrame] = []
+    # every loop-carried DataFrame is EAGERLY lineage-cut each
+    # step: keep/trimmed/nxt reference act_e (and each other)
+    # several times, so without the cut the logical plan grows
+    # geometrically per iteration and plan processing itself
+    # eventually OOMs — the module-docstring fixpoint rule, and
+    # this module's measured failure mode when skipped.
+    act_e = _cut_lineage(act_e)
+    for _ in range(max_rounds):
+        # ---- TRIM: peel no-in / no-out vertices as singletons
+        while True:
+            srcs = act_e.select("src").distinct()
+            dsts = act_e.select(F.col("dst").alias("src")).distinct()
+            both = srcs.join(dsts, "src", "inner")
+            keep = _cut_lineage(
+                act_e.join(both, "src", "left_semi").join(
+                    both.select(F.col("src").alias("dst")),
+                    "dst",
+                    "left_semi",
+                )
+            )
+            trimmed = _cut_lineage(
+                srcs.unionByName(dsts)
+                .distinct()
+                .exceptAll(
+                    keep.select("src")
+                    .unionByName(keep.select(F.col("dst").alias("src")))
+                    .distinct()
+                )
+                .select(
+                    F.col("src").alias("vertex"),
+                    F.col("src").alias("component"),
+                )
+            )
+            n_trimmed = trimmed.count()  # bounded scalar
+            act_e = keep
+            if n_trimmed == 0:
+                break
+            pieces.append(trimmed)
+        n_edges = act_e.count()  # bounded scalar
+        if n_edges == 0:
+            break
+        # ---- FW/BW min-label fixpoints over the cyclic core
+        verts = _cut_lineage(vertices(act_e))
+        init = verts.select("v", F.col("v").alias("lbl"))
+        fwd = _min_label_fixpoint(act_e, init, checkpoint_every)
+        bwd = _min_label_fixpoint(
+            act_e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            init,
+            checkpoint_every,
+        )
+        scc = _cut_lineage(
+            fwd.join(
+                bwd.select("v", F.col("lbl").alias("blbl")), "v"
+            )
+            .filter(F.col("lbl") == F.col("blbl"))
+            .select(
+                F.col("v").alias("vertex"), F.col("lbl").alias("component")
+            )
+        )
+        pieces.append(scc)
+        act_e = _cut_lineage(
+            act_e.join(
+                scc.select(F.col("vertex").alias("src")),
+                "src",
+                "left_anti",
+            ).join(
+                scc.select(F.col("vertex").alias("dst")),
+                "dst",
+                "left_anti",
+            )
+        )
+        if act_e.count() == 0:  # bounded scalar
+            break
+    else:
+        raise RuntimeError(
+            f"SCC did not resolve within max_rounds={max_rounds} "
+            "FW-BW rounds (pathological SCC chain); raise max_rounds"
+        )
+    out = empty
+    for p in pieces:
+        out = out.unionByName(p)
+    # vertices whose only edges were self-loops: singleton SCCs not
+    # seen by the rounds (their non-loop degree is zero)
+    extras = loop_verts.join(
+        out.select("vertex"), "vertex", "left_anti"
+    ).select("vertex", F.col("vertex").alias("component"))
+    return out.unionByName(extras)
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact triangle count per vertex (vertex, n_triangles), vertices
     in no triangle omitted. Direction is ignored (the KG edge list is

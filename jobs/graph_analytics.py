@@ -12,6 +12,7 @@ it to a distinct entity edge list, and writes:
 
   <out>/graph_pagerank   (vertex, rank)          — full vertex set
   <out>/graph_kcore      (v,)                    — k-core members
+  <out>/graph_scc        (vertex, component)     — only with --scc
   <out>/graph_neighbors  (seed, vertex, hop)     — only with --hops > 0,
                                                    seeds = --top ranked
 
@@ -61,6 +62,12 @@ def main() -> None:
         "--triangles",
         action="store_true",
         help="also write per-vertex triangle counts (graph_triangles)",
+    )
+    ap.add_argument(
+        "--scc",
+        action="store_true",
+        help="also write DIRECTED strongly connected components "
+        "(graph_scc — cycle detection: taxonomy loops, mutual links)",
     )
     ap.add_argument(
         "--components",
@@ -155,6 +162,11 @@ def main() -> None:
         comp = graph.connected_components(edges)
         report["component_rows"] = _append_rows(
             IceLite(f"{args.out}/graph_components"), comp
+        )
+    if args.scc:
+        scc = graph.strongly_connected_components(edges)
+        report["scc_rows"] = _append_rows(
+            IceLite(f"{args.out}/graph_scc"), scc
         )
     if args.seed:
         ppr_seeds = spark.createDataFrame(

@@ -240,6 +240,105 @@ class TestConnectedComponents:
         assert len(set(got.values())) == 4
 
 
+def closure_scc(edge_list):
+    """Oracle: SCCs via full transitive closure — v, w share a
+    component iff mutually reachable; label = min member."""
+    verts = sorted({v for e in edge_list for v in e})
+    reach = {v: {v} for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edge_list:
+            if a == b:
+                continue
+            new = reach[b] - reach[a]
+            if new:
+                reach[a] |= new
+                changed = True
+    return {
+        v: min(w for w in verts if w in reach[v] and v in reach[w])
+        for v in verts
+    }
+
+
+class TestSCC:
+    def _got(self, df):
+        return {r["vertex"]: r["component"] for r in df.collect()}
+
+    def test_fixture_sccs(self, edges_df):
+        got = self._got(graph.strongly_connected_components(edges_df))
+        want = closure_scc([(vid(a), vid(b)) for a, b in EDGES])
+        assert got == want
+        # structure: ring 0..9 is ONE SCC; the reciprocal pairs are
+        # SCCs; everything else (hub, tail, star, feeders) singleton
+        assert got[vid(5)] == vid(0)
+        assert got[vid(15)] == vid(14)
+        assert got[vid(23)] == vid(22)
+        assert sum(c == vid(0) for c in got.values()) == 10
+
+    def test_random_digraph_vs_closure(self, spark):
+        rng = np.random.RandomState(7)
+        pairs = {
+            (f"n{a:02d}", f"n{b:02d}")
+            for a, b in rng.randint(0, 40, size=(90, 2))
+            if a != b
+        }
+        df = spark.createDataFrame(
+            sorted(pairs), "src string, dst string"
+        )
+        got = self._got(graph.strongly_connected_components(df))
+        assert got == closure_scc(sorted(pairs))
+
+    def test_dag_chain_resolves_by_trim(self, spark):
+        # 30-singleton chain: naive FW-BW needs 30 rounds, TRIM one
+        chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(29)]
+        df = spark.createDataFrame(chain, "src string, dst string")
+        got = self._got(
+            graph.strongly_connected_components(df, max_rounds=3)
+        )
+        assert got == {f"c{i:02d}": f"c{i:02d}" for i in range(30)}
+
+    def test_chain_of_cycles_multi_round(self, spark):
+        # A(x*) -> B(m*) -> C(z*): ids make round 1 resolve ONLY B
+        # (f=b='m0' there), so the loop must iterate — and must not
+        # mislabel A (f='m0' but b='x0') or C in round 1.
+        edges = [
+            ("x0", "x1"), ("x1", "x0"),
+            ("m0", "m1"), ("m1", "m0"),
+            ("z0", "z1"), ("z1", "z0"),
+            ("x0", "m0"), ("m1", "z0"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = self._got(graph.strongly_connected_components(df))
+        assert got == {
+            "x0": "x0", "x1": "x0", "m0": "m0", "m1": "m0",
+            "z0": "z0", "z1": "z0",
+        }
+
+    def test_self_loops_and_empty(self, spark):
+        df = spark.createDataFrame(
+            [("a", "a"), ("a", "b"), ("b", "a"), ("q", "q")],
+            "src string, dst string",
+        )
+        # q's only edge is a self-loop -> singleton SCC of itself;
+        # a's self-loop must not perturb the {a, b} cycle component
+        got = self._got(graph.strongly_connected_components(df))
+        assert got == {"a": "a", "b": "a", "q": "q"}
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert graph.strongly_connected_components(empty).count() == 0
+
+    def test_max_rounds_exceeded_raises(self, spark):
+        # adversarial SCC chain that TRIM cannot peel and whose ids
+        # resolve one cycle per round from the middle out
+        edges = []
+        for i, tag in enumerate(["m", "x", "z"]):
+            edges += [(f"{tag}0", f"{tag}1"), (f"{tag}1", f"{tag}0")]
+        edges += [("x0", "m0"), ("m1", "z0")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            graph.strongly_connected_components(df, max_rounds=1)
+
+
 def brute_triangles(edge_list):
     """Per-vertex triangle counts by scanning all vertex triples."""
     und = set()

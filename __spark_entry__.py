@@ -1114,6 +1114,54 @@ WHERE p1.pred = 'in_nation'
 """
 
 
+def q_gr_scc(spark, sf_dir):
+    """Directed strongly connected components (graph.
+    strongly_connected_components, r6 — FW-BW-Trim) on a graph whose
+    SCCs are ANALYTICALLY known: customers of each nation arranged in
+    a ring (ordered by custkey, last wraps to first — one directed
+    cycle per nation), plus a chain edge from each nation's minimum
+    customer to the next nation's (acyclic — must NOT merge rings,
+    exercising TRIM + multi-ring resolution). Every ring is one SCC
+    labeled by its lexicographic-min member = the nation's min custkey
+    (ids zero-padded so string order == numeric order). The DuckDB
+    twin computes that closed form directly — no recursion."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from pyspark.sql import Window
+
+    from antnre_spark.graph import strongly_connected_components
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.format_string("c%06d", F.col("c_custkey")).alias("v"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    w = Window.partitionBy("nk").orderBy("v")
+    ring = c.select(
+        F.col("v").alias("src"),
+        F.coalesce(
+            F.lead("v").over(w), F.first("v").over(w)
+        ).alias("dst"),
+    )
+    mins = c.groupBy("nk").agg(F.min("v").alias("mv")).orderBy("nk")
+    wn = Window.orderBy("nk")
+    chain = mins.select(
+        F.col("mv").alias("src"), F.lead("mv").over(wn).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    return strongly_connected_components(
+        ring.unionByName(chain)
+    ).orderBy("vertex")
+
+
+SQL_GR_SCC = """
+SELECT printf('c%06d', c_custkey) AS vertex,
+       printf('c%06d', MIN(c_custkey) OVER (PARTITION BY c_nationkey))
+         AS component
+FROM customer
+ORDER BY vertex
+"""
+
+
 SQL_KQ_BGP = """
 WITH t AS (
   SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
@@ -2669,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kq_construct": q_kq_construct,
         "kq_agg": q_kq_agg,
         "kq_exists": q_kq_exists,
+        "gr_scc": q_gr_scc,
     }
     return base
 
@@ -2769,6 +2818,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "kq_construct": SQL_KQ_CONSTRUCT,
         "kq_agg": SQL_KQ_AGG,
         "kq_exists": SQL_KQ_EXISTS,
+        "gr_scc": SQL_GR_SCC,
     }
     # cache ONLY complete builds: pinning a degraded dict would make a
     # transient read failure permanently skip those oracles for the rest

@@ -100,6 +100,13 @@ def main() -> None:
         metavar="NAME",
         help="materialize the result as <out>/query_NAME",
     )
+    ap.add_argument(
+        "--table",
+        default="triples",
+        help="table under --out to query (default: triples; e.g. "
+        "query_NAME to query a previously --write'n result, so "
+        "CONSTRUCT-derived graphs compose with further queries)",
+    )
     ap.add_argument("--show", type=int, default=10)
     ap.add_argument(
         "--explain",
@@ -151,11 +158,12 @@ def main() -> None:
         )
 
     spark = get_spark("kg_query")
-    triples = IceLite(f"{args.out}/triples").load(spark)
+    triples = IceLite(f"{args.out}/{args.table}").load(spark)
     if triples is None:
         raise SystemExit(
-            "no triples table under --out: run jobs/extract.py and "
-            "jobs/link_materialize.py first"
+            f"no {args.table} table under --out: run jobs/extract.py "
+            "and jobs/link_materialize.py first (or --write the "
+            "derived table this run should query)"
         )
     patterns = _decode_patterns(spec.get("patterns", []), "required")
     optional = [

@@ -477,6 +477,45 @@ class TestPaths:
         no = bgp_query(triples_df, base + [("c1", Path("knows", 1, 1), "c3")])
         assert yes.count() == 2 and no.count() == 0
 
+    def test_path_inside_optional_and_exists_groups(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        # Path predicates compile through _scan, so they work inside
+        # ANY group — pin OPTIONAL and EXISTS explicitly.
+        pats = [("?c", "in_nation", "?n")]
+        # 2-hop in_nation;in_region reachability as OPTIONAL — wrong
+        # pred name, so every binding gets NULL
+        q = bgp_query(
+            triples_df, pats,
+            optional_patterns=[[("?c", Path("nope", 1, 2), "?r")]],
+        )
+        assert all(r["r"] is None for r in q.collect())
+        # EXISTS a 2-hop knows path: c1,c2,c3 (cycle) and c1->c4->c4?
+        # (c4 likes only itself) — exactly the cycle members + anyone
+        # reaching 2 hops
+        two_hop = {
+            a for a, _ in (
+                (a, c)
+                for (a, b) in [
+                    (s, o) for (s, p, o) in TRIPLES if p == "knows"
+                ]
+                for (b2, c) in [
+                    (s, o) for (s, p, o) in TRIPLES if p == "knows"
+                ]
+                if b == b2
+            )
+        }
+        got_e = got(
+            bgp_query(
+                triples_df, pats,
+                exists_patterns=[[("?c", Path("knows", 2, 2), "?f")]],
+            )
+        )
+        expect = sorted(
+            row for row in brute(TRIPLES, pats) if row[0] in two_hop
+        )
+        assert got_e == expect
+
     def test_hop_bounds_validated(self, triples_df):
         from antnre_spark.kgquery import Path, path_pairs
 

@@ -366,7 +366,13 @@ def bgp_query(
                     "the required patterns (use a fully-bound gate "
                     "pattern for an uncorrelated existence test)"
                 )
-            acc = acc.join(sub.select(*shared), on=shared, how=how)
+            # distinct BEFORE the join: the test only needs key
+            # presence, so a group matching a binding many times ships
+            # one key row into the semi/anti shuffle, not a row per
+            # match (the docstring's scale claim, made true here)
+            acc = acc.join(
+                sub.select(*shared).distinct(), on=shared, how=how
+            )
     for group in optional_patterns or []:
         opt, ovars = _join_group(triples, group, allow_cartesian)
         shared = sorted(acc_vars & ovars)

@@ -37,10 +37,18 @@ threshold, and skew-join splitting handles hub entities (the same hubs
 No driver-side materialization: the compiler builds the plan, the
 caller decides the action.
 
-``optional_patterns`` adds the SPARQL OPTIONAL semantics (left outer
-join of each optional group against the required bindings), and
-``filters`` accepts SQL boolean expressions over the variable columns
-(pushed into the plan; Catalyst pushes them further down when legal).
+The module covers the useful SPARQL 1.1 fragment end to end:
+``optional_patterns`` (OPTIONAL — left join per group),
+``exists_patterns``/``not_exists_patterns`` (FILTER (NOT) EXISTS —
+semi/anti joins on shared variables), ``filters`` (pre-OPTIONAL,
+pushed down when legal) and ``post_filters`` (after OPTIONAL —
+negation-by-failure over NULL bindings), ``bind`` (BIND derived
+columns), :func:`bgp_aggregate` (GROUP BY/HAVING with partial+final
+hash aggregation), :func:`construct` (CONSTRUCT — derive a new
+triples-schema graph), bounded property paths (:class:`Path`,
+inverse ``^p``, alternation lists), and the ASK verb on the
+``jobs/kg_query.py`` CLI. Unbounded closure and whole-graph
+analytics live in :mod:`antnre_spark.graph`.
 """
 
 from __future__ import annotations

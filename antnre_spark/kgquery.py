@@ -45,10 +45,13 @@ pushed down when legal) and ``post_filters`` (after OPTIONAL —
 negation-by-failure over NULL bindings), ``bind`` (BIND derived
 columns), :func:`bgp_aggregate` (GROUP BY/HAVING with partial+final
 hash aggregation), :func:`construct` (CONSTRUCT — derive a new
-triples-schema graph), bounded property paths (:class:`Path`,
-inverse ``^p``, alternation lists), and the ASK verb on the
-``jobs/kg_query.py`` CLI. Unbounded closure and whole-graph
-analytics live in :mod:`antnre_spark.graph`.
+triples-schema graph), ``union_patterns`` (UNION of whole binding
+groups, disjoint variables NULL-padded), property paths — bounded
+(:class:`Path`, inverse ``^p``, alternation lists) AND unbounded
+closure ``p+``/``p*`` (``Path(p, 1, None)`` — a checkpointed
+fixpoint, seeded from a bound endpoint when the pattern has one) —
+and the ASK verb on the ``jobs/kg_query.py`` CLI. Whole-graph
+analytics (PageRank, CC, SCC, …) live in :mod:`antnre_spark.graph`.
 """
 
 from __future__ import annotations
@@ -59,14 +62,30 @@ Pattern = tuple[str, object, str]
 
 _POSITIONS = ("subj", "pred", "obj")
 
-#: bounded property paths only — unbounded ``*``/``+`` closure is a
-#: different algorithm at 10^12 triples (use ``graph.n_hop`` /
-#: ``graph.connected_components`` for reachability).
+#: bounded (level-unrolled) property paths stop here; longer or
+#: unknown-depth reachability uses the fixpoint path (``Path(p, m,
+#: None)`` → :func:`closure_pairs`), which is a different algorithm —
+#: checkpointed frontier iteration, not unrolled joins.
 MAX_PATH_HOPS = 8
+
+#: fixpoint-round caps for :func:`closure_pairs` (honest-failure
+#: posture, like ``graph.strongly_connected_components``): doubling
+#: rounds cover path length 2^k, so 20 rounds ≈ 10^6-edge diameters;
+#: seeded BFS rounds are linear in the longest path from the seeds.
+MAX_CLOSURE_DOUBLING_ROUNDS = 20
+MAX_CLOSURE_BFS_ROUNDS = 128
 
 
 def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
+
+
+def _invert_pred(pred):
+    """Invert a predicate term: ``p`` ↔ ``^p``, alternation lists
+    element-wise — used to seed a closure from a bound OBJECT."""
+    if isinstance(pred, str):
+        return pred[1:] if pred.startswith("^") else "^" + pred
+    return [_invert_pred(p) for p in pred]
 
 
 def _pred_edge(triples: DataFrame, pred) -> DataFrame:
@@ -121,7 +140,8 @@ def path_pairs(
     hop so intermediate cardinality is bounded by |V|^2 worst case and
     in practice by the reachable pair set — the same frontier shape as
     ``graph.n_hop``. Bounded by ``MAX_PATH_HOPS``; unbounded closure
-    is explicitly out of scope (see module constant).
+    routes through :func:`closure_pairs` (a fixpoint, not unrolled
+    joins — see the module constant).
     """
     if not (1 <= min_hops <= max_hops <= MAX_PATH_HOPS):
         raise ValueError(
@@ -152,16 +172,132 @@ def path_pairs(
     return out.distinct()
 
 
+def closure_pairs(
+    triples: DataFrame,
+    pred,
+    min_hops: int = 1,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct (a, b) pairs connected by a ``pred`` path of ANY
+    length ≥ ``min_hops`` — unbounded SPARQL closure: ``p+`` is
+    ``min_hops=1``, ``p*`` is ``min_hops=0``. ``pred`` accepts the
+    same forms as :func:`path_pairs` (name, ``^name``, alternation
+    list). Path EXISTENCE semantics (set, not bag).
+
+    Two fixpoint strategies, both with per-round lineage cuts
+    (``link._cut_lineage`` — the r6 lesson: persist alone lets the
+    loop-carried plan grow geometrically):
+
+    * ``sources`` given (a DataFrame whose first column holds seed
+      vertices — how :func:`_endpoint_scan` calls this when the
+      pattern binds an endpoint): semi-naive frontier BFS from the
+      seeds. Per round one equi-join of the NEW pairs against the
+      single-hop edge set and one anti-join against the seen set;
+      rounds = longest simple path from the seeds (capped,
+      RuntimeError past ``MAX_CLOSURE_BFS_ROUNDS``). This is the
+      10^12-triple-safe form: the state is O(|reachable pairs from
+      seeds|), never the whole graph's closure.
+    * no ``sources``: full transitive closure by pointer DOUBLING —
+      ``seen ⋈ seen`` covers path length 2^k after k rounds (the same
+      O(log diameter) trick graph.py's SCC uses), fixpoint detected by
+      a stable pair count. Worst case the closure itself is |V|², so
+      at true KG scale prefer a bound endpoint or a pre-filtered
+      predicate (taxonomy closures — ``subclass_of*`` — are the
+      designed use).
+
+    ``min_hops=0`` adds reflexive rows: (s, s) for every seed when
+    seeded, else (v, v) for every vertex incident to a ``pred`` edge
+    (the standard finite-graph reading of SPARQL's zero-length path).
+    """
+    if min_hops not in (0, 1):
+        raise ValueError(
+            f"unbounded closure supports min_hops 0 (p*) or 1 (p+), "
+            f"got {min_hops}"
+        )
+    from .link import _cut_lineage
+
+    edge = _pred_edge(triples, pred).distinct()
+    if sources is not None:
+        seed = sources.select(
+            F.col(sources.columns[0]).alias("a")
+        ).distinct()
+        seen = _cut_lineage(
+            seed.join(edge, "a").select("a", "b").distinct()
+        )
+        delta = seen
+        for _ in range(MAX_CLOSURE_BFS_ROUNDS):
+            if delta.isEmpty():
+                break
+            delta = _cut_lineage(
+                delta.select("a", F.col("b").alias("m"))
+                .join(edge.select(F.col("a").alias("m"), "b"), "m")
+                .select("a", "b")
+                .distinct()
+                .join(seen, ["a", "b"], "left_anti")
+            )
+            seen = seen.unionByName(delta)  # union of checkpointed frames
+        else:
+            raise RuntimeError(
+                f"closure_pairs: no fixpoint after "
+                f"{MAX_CLOSURE_BFS_ROUNDS} BFS rounds (path deeper than "
+                "the cap — raise MAX_CLOSURE_BFS_ROUNDS or bound the "
+                "path)"
+            )
+        if min_hops == 0:
+            seen = seen.unionByName(
+                seed.select("a", F.col("a").alias("b"))
+            ).distinct()
+        return seen
+    seen = _cut_lineage(edge)
+    n = seen.count()
+    for _ in range(MAX_CLOSURE_DOUBLING_ROUNDS):
+        nxt = _cut_lineage(
+            seen.select("a", F.col("b").alias("m"))
+            .join(seen.select(F.col("a").alias("m"), "b"), "m")
+            .select("a", "b")
+            .unionByName(seen)
+            .distinct()
+        )
+        m = nxt.count()
+        seen = nxt
+        if m == n:  # no new pair at double the length: fixpoint
+            break
+        n = m
+    else:
+        raise RuntimeError(
+            f"closure_pairs: no fixpoint after "
+            f"{MAX_CLOSURE_DOUBLING_ROUNDS} doubling rounds "
+            "(diameter > 2^20 edges?)"
+        )
+    if min_hops == 0:
+        verts = (
+            edge.select("a")
+            .unionByName(edge.select(F.col("b").alias("a")))
+            .distinct()
+        )
+        seen = seen.unionByName(
+            verts.select("a", F.col("a").alias("b"))
+        ).distinct()
+    return seen
+
+
 class Path:
-    """Bounded property-path predicate for a pattern's middle term:
+    """Property-path predicate for a pattern's middle term:
     ``Path("knows", 1, 3)`` matches subject→object pairs connected by
-    1..3 ``knows`` edges (SPARQL ``knows{1,3}``); the predicate also
-    accepts ``^name`` (inverse) and alternation lists, composing with
-    :func:`path_pairs`."""
+    1..3 ``knows`` edges (SPARQL ``knows{1,3}``); ``max_hops=None``
+    makes the path UNBOUNDED — ``Path(p, 1, None)`` is SPARQL ``p+``,
+    ``Path(p, 0, None)`` is ``p*`` (compiled by :func:`closure_pairs`,
+    seeded from a bound endpoint when the pattern has one). The
+    predicate also accepts ``^name`` (inverse) and alternation lists,
+    composing with :func:`path_pairs`."""
 
     __slots__ = ("pred", "min_hops", "max_hops")
 
-    def __init__(self, pred, min_hops: int = 1, max_hops: int = 1):
+    def __init__(self, pred, min_hops: int = 1, max_hops: int | None = 1):
+        if max_hops is None and min_hops not in (0, 1):
+            raise ValueError(
+                f"unbounded Path needs min_hops 0 or 1, got {min_hops}"
+            )
         self.pred = pred
         self.min_hops = min_hops
         self.max_hops = max_hops
@@ -178,7 +314,27 @@ def _endpoint_scan(
     pairs, then bind the subject/object terms exactly like positions
     of a plain scan."""
     s_term, p_term, o_term = pattern
-    if isinstance(p_term, Path):
+    if isinstance(p_term, Path) and p_term.max_hops is None:
+        # unbounded closure: seed the fixpoint from a bound endpoint
+        # when the pattern has one (the scale-safe form) — a bound
+        # OBJECT seeds the closure of the INVERTED predicate, then the
+        # pairs are swapped back so the generic binding loop below sees
+        # forward (a=subject-side, b=object-side) orientation.
+        spark = triples.sparkSession
+        if not _is_var(s_term):
+            seed = spark.createDataFrame([(s_term,)], "a string")
+            pairs = closure_pairs(
+                triples, p_term.pred, p_term.min_hops, sources=seed
+            )
+        elif not _is_var(o_term):
+            seed = spark.createDataFrame([(o_term,)], "a string")
+            pairs = closure_pairs(
+                triples, _invert_pred(p_term.pred), p_term.min_hops,
+                sources=seed,
+            ).select(F.col("b").alias("a"), F.col("a").alias("b"))
+        else:
+            pairs = closure_pairs(triples, p_term.pred, p_term.min_hops)
+    elif isinstance(p_term, Path):
         pairs = path_pairs(
             triples, p_term.pred, p_term.min_hops, p_term.max_hops
         )
@@ -239,10 +395,70 @@ def _scan(triples: DataFrame, pattern: Pattern) -> tuple[DataFrame, set]:
     return df.select(*proj), set(var_to_cols)
 
 
-def _order(patterns: list[Pattern], allow_cartesian: bool) -> list[int]:
-    """Deterministic join order: seed with the most-bound pattern, then
-    greedily extend along shared variables, most-bound first. Raises on
-    a disconnected BGP unless ``allow_cartesian``."""
+def predicate_stats(triples: DataFrame) -> dict[str, int]:
+    """One-pass per-predicate row counts — the cardinality hint for
+    stats-aware join ordering (pass the dict as ``bgp_query(...,
+    stats=...)``). One ``groupBy(pred).count()`` over the triples
+    relation; the result is |distinct predicates| rows (KG predicate
+    vocabularies are small — tens to thousands — so collecting to the
+    driver and broadcasting inside the plan literals is the right
+    shape even at 10^12 triples; cache the dict across queries, the
+    way ``jobs/kg_query.py --stats`` does per run)."""
+    return {
+        r["pred"]: r["n"]
+        for r in triples.groupBy("pred").agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+#: selectivity credit per bound subject/object position when
+#: estimating a pattern's scan cardinality from predicate stats —
+#: a fixed, deterministic divisor (no per-value stats are kept).
+_BOUND_TERM_SELECTIVITY = 100.0
+
+
+def _est_cost(p: Pattern, stats: dict[str, int]) -> float:
+    """Estimated scan cardinality of one pattern under per-predicate
+    counts: bound plain predicate → its count (0 if absent — an empty
+    scan is maximally selective); variable predicate → the whole
+    relation; alternations/inverses → sum of constituent predicate
+    counts; Path → constituent sum (closure growth is unknowable
+    without path stats — the bound-endpoint divisor below is what
+    makes seeded closures rank early). Each bound subject/object
+    divides by ``_BOUND_TERM_SELECTIVITY``."""
+    pred = p[1]
+    if isinstance(pred, Path):
+        pred = pred.pred
+    if isinstance(pred, str) and not pred.startswith("^"):
+        est = float(stats.get(pred, 0)) if not _is_var(pred) else float(
+            sum(stats.values())
+        )
+    elif isinstance(pred, str):  # inverse ^p
+        est = float(stats.get(pred[1:], 0))
+    else:  # alternation list
+        est = float(
+            sum(stats.get(q[1:] if q.startswith("^") else q, 0)
+                for q in pred)
+        )
+    for term in (p[0], p[2]):
+        if not _is_var(term):
+            est /= _BOUND_TERM_SELECTIVITY
+    return est
+
+
+def _order(
+    patterns: list[Pattern],
+    allow_cartesian: bool,
+    stats: dict[str, int] | None = None,
+) -> list[int]:
+    """Deterministic join order: seed with the cheapest pattern, then
+    greedily extend along shared variables, cheapest first. "Cheapest"
+    is estimated cardinality when per-predicate ``stats`` are given
+    (so two one-bound patterns with wildly different predicate
+    frequencies rank by actual size), else the syntactic most-bound
+    heuristic; the (-bound_count, index) tie-break keeps the order
+    deterministic either way. Raises on a disconnected BGP unless
+    ``allow_cartesian``."""
 
     def bound_count(p: Pattern) -> int:
         return sum(0 if _is_var(t) else 1 for t in p)
@@ -251,7 +467,16 @@ def _order(patterns: list[Pattern], allow_cartesian: bool) -> list[int]:
         return {t[1:] for t in p if _is_var(t)}
 
     remaining = list(range(len(patterns)))
-    remaining.sort(key=lambda i: (-bound_count(patterns[i]), i))
+    if stats is not None:
+        remaining.sort(
+            key=lambda i: (
+                _est_cost(patterns[i], stats),
+                -bound_count(patterns[i]),
+                i,
+            )
+        )
+    else:
+        remaining.sort(key=lambda i: (-bound_count(patterns[i]), i))
     order: list[int] = []
     seen_vars: set = set()
     while remaining:
@@ -275,7 +500,10 @@ def _order(patterns: list[Pattern], allow_cartesian: bool) -> list[int]:
 
 
 def _join_group(
-    triples: DataFrame, patterns: list[Pattern], allow_cartesian: bool
+    triples: DataFrame,
+    patterns: list[Pattern],
+    allow_cartesian: bool,
+    stats: dict[str, int] | None = None,
 ) -> tuple[DataFrame, set]:
     """Join one pattern group into a bindings DataFrame.
 
@@ -289,7 +517,7 @@ def _join_group(
     acc = None
     acc_vars: set = set()
     if varpats:
-        order = _order(varpats, allow_cartesian)
+        order = _order(varpats, allow_cartesian, stats)
         for i in order:
             scan, svars = _scan(triples, varpats[i])
             if acc is None:
@@ -314,6 +542,7 @@ def _join_group(
 def bgp_query(
     triples: DataFrame,
     patterns: list[Pattern],
+    union_patterns: list[list[Pattern]] | None = None,
     optional_patterns: list[list[Pattern]] | None = None,
     exists_patterns: list[list[Pattern]] | None = None,
     not_exists_patterns: list[list[Pattern]] | None = None,
@@ -323,6 +552,7 @@ def bgp_query(
     select: list[str] | None = None,
     distinct: bool = False,
     allow_cartesian: bool = False,
+    stats: dict[str, int] | None = None,
 ) -> DataFrame:
     """Compile a basic graph pattern into a DataFrame of variable
     bindings.
@@ -357,8 +587,60 @@ def bgp_query(
     the shared variables that ship only the group's DISTINCT key side
     — AQE broadcasts it when a selective group shrinks below the
     threshold, and no binding row ever fans out.
+
+    ``union_patterns``: groups forming a SPARQL UNION — the result is
+    the bag-union of each group's bindings, joined with the required
+    patterns when any exist (``A . {B UNION C}`` ≡ ``(A.B) UNION
+    (A.C)``, per the SPARQL algebra); variables a group does not bind
+    are NULL-padded (SPARQL's unbound), so disjoint-variable groups
+    union cleanly; set semantics come from the ``distinct`` flag.
+    With UNION groups present, ``patterns`` may be empty (a pure
+    ``{A} UNION {B}`` query). ``filters`` apply AFTER the union (they
+    may reference union variables — NULL where a branch leaves them
+    unbound); Catalyst still pushes each conjunct into the branches
+    where legal.
+
+    ``stats``: optional per-predicate row counts (see
+    :func:`predicate_stats`) switching the join order from the
+    syntactic most-bound heuristic to estimated-cardinality order.
     """
-    acc, acc_vars = _join_group(triples, patterns, allow_cartesian)
+    if patterns:
+        acc, acc_vars = _join_group(
+            triples, patterns, allow_cartesian, stats
+        )
+    elif union_patterns:
+        acc, acc_vars = None, set()
+    else:
+        raise ValueError("empty pattern list")
+    if union_patterns:
+        branches: list[tuple[DataFrame, set]] = []
+        for group in union_patterns:
+            sub, svars = _join_group(
+                triples, group, allow_cartesian, stats
+            )
+            if acc is None:
+                branches.append((sub, svars))
+                continue
+            shared = sorted(acc_vars & svars)
+            if shared:
+                branches.append(
+                    (acc.join(sub, on=shared, how="inner"),
+                     acc_vars | svars)
+                )
+            elif allow_cartesian:
+                branches.append((acc.crossJoin(sub), acc_vars | svars))
+            else:
+                raise ValueError(
+                    f"union group {group!r} shares no variable with the "
+                    "required patterns; pass allow_cartesian=True to "
+                    "accept the product"
+                )
+        acc_vars = set().union(*(bv for _, bv in branches))
+        acc = None
+        for b, _ in branches:
+            acc = b if acc is None else acc.unionByName(
+                b, allowMissingColumns=True
+            )
     for expr in filters or []:
         acc = acc.filter(F.expr(expr))
     for how, groups in (
@@ -366,7 +648,9 @@ def bgp_query(
         ("anti", not_exists_patterns or []),
     ):
         for group in groups:
-            sub, svars = _join_group(triples, group, allow_cartesian)
+            sub, svars = _join_group(
+                triples, group, allow_cartesian, stats
+            )
             shared = sorted(acc_vars & svars)
             if not shared:
                 raise ValueError(
@@ -382,7 +666,9 @@ def bgp_query(
                 sub.select(*shared).distinct(), on=shared, how=how
             )
     for group in optional_patterns or []:
-        opt, ovars = _join_group(triples, group, allow_cartesian)
+        opt, ovars = _join_group(
+            triples, group, allow_cartesian, stats
+        )
         shared = sorted(acc_vars & ovars)
         if not shared:
             raise ValueError(
@@ -412,6 +698,7 @@ def bgp_aggregate(
     patterns: list[Pattern],
     group_by: list[str],
     aggs: dict[str, str],
+    union_patterns: list[list[Pattern]] | None = None,
     optional_patterns: list[list[Pattern]] | None = None,
     exists_patterns: list[list[Pattern]] | None = None,
     not_exists_patterns: list[list[Pattern]] | None = None,
@@ -419,6 +706,7 @@ def bgp_aggregate(
     post_filters: list[str] | None = None,
     having: list[str] | None = None,
     allow_cartesian: bool = False,
+    stats: dict[str, int] | None = None,
 ) -> DataFrame:
     """SPARQL GROUP BY fragment: aggregate the BGP's variable bindings.
 
@@ -440,12 +728,14 @@ def bgp_aggregate(
     bind = bgp_query(
         triples,
         patterns,
+        union_patterns=union_patterns,
         optional_patterns=optional_patterns,
         exists_patterns=exists_patterns,
         not_exists_patterns=not_exists_patterns,
         filters=filters,
         post_filters=post_filters,
         allow_cartesian=allow_cartesian,
+        stats=stats,
     )
     missing = [g for g in group_by if g not in bind.columns]
     if missing:
@@ -468,12 +758,14 @@ def construct(
     triples: DataFrame,
     patterns: list[Pattern],
     template: list[Pattern],
+    union_patterns: list[list[Pattern]] | None = None,
     optional_patterns: list[list[Pattern]] | None = None,
     exists_patterns: list[list[Pattern]] | None = None,
     not_exists_patterns: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
     post_filters: list[str] | None = None,
     allow_cartesian: bool = False,
+    stats: dict[str, int] | None = None,
 ) -> DataFrame:
     """SPARQL-CONSTRUCT fragment: run the BGP, then instantiate each
     ``template`` triple (terms are variables or literals) once per
@@ -493,6 +785,7 @@ def construct(
     bind = bgp_query(
         triples,
         patterns,
+        union_patterns=union_patterns,
         optional_patterns=optional_patterns,
         exists_patterns=exists_patterns,
         not_exists_patterns=not_exists_patterns,
@@ -500,6 +793,7 @@ def construct(
         post_filters=post_filters,
         select=sorted(tvars) or None,
         allow_cartesian=allow_cartesian,
+        stats=stats,
     )
 
     def term(t):

@@ -25,8 +25,20 @@ prints ``{"ask": true|false}`` — existence of ANY binding, evaluated
 with limit(1) (stops at the first row).
 
 A pattern predicate may also be an alternation list
-(``["Live_In", "Located_In"]``), an inverse (``"^Work_For"``), or a
-bounded property path (``{"path": "Located_In", "min": 1, "max": 3}``).
+(``["Live_In", "Located_In"]``), an inverse (``"^Work_For"``), a
+bounded property path (``{"path": "Located_In", "min": 1, "max": 3}``),
+or an UNBOUNDED closure — ``"max": null`` or ``"max": "*"`` — giving
+SPARQL ``p+`` (``"min": 1``) / ``p*`` (``"min": 0``), compiled as a
+checkpointed fixpoint seeded from a bound endpoint when one exists.
+
+``"union": [[...group A patterns...], [...group B...]]`` adds a SPARQL
+UNION of binding groups: each group's bindings are joined with the
+required patterns (when any) and unioned, variables a group does not
+bind NULL-padded; ``"patterns"`` may be empty/absent with ``"union"``.
+
+``"stats": true`` runs one groupBy(pred).count() pass over the queried
+table first and orders the join chain by estimated cardinality instead
+of the syntactic most-bound heuristic.
 
 Aggregation (SPARQL GROUP BY; replaces select/distinct/construct):
 
@@ -63,6 +75,7 @@ from antnre_spark.kgquery import (  # noqa: E402
     bgp_aggregate,
     bgp_query,
     construct,
+    predicate_stats,
 )
 from antnre_spark.session import get_spark  # noqa: E402
 
@@ -75,9 +88,12 @@ def _decode_pred(term):
                 f"path predicate must be {{'path': p, 'min': m, 'max': n}}: "
                 f"{term!r}"
             )
-        return KPath(
-            term["path"], int(term.get("min", 1)), int(term.get("max", 1))
-        )
+        # "max": null or "max": "*" = unbounded closure (SPARQL p+/p*
+        # per "min" 1/0) — compiled as a checkpointed fixpoint, seeded
+        # from a bound endpoint when the pattern has one.
+        raw_max = term.get("max", 1)
+        max_hops = None if raw_max in (None, "*") else int(raw_max)
+        return KPath(term["path"], int(term.get("min", 1)), max_hops)
     return term
 
 
@@ -121,9 +137,10 @@ def main() -> None:
     with open(args.query) as fh:
         spec = json.load(fh)
     unknown = set(spec) - {
-        "patterns", "optional", "exists", "not_exists", "filters",
-        "post_filters", "bind", "select", "distinct", "construct",
-        "group_by", "aggs", "having", "order_by", "limit", "ask",
+        "patterns", "union", "optional", "exists", "not_exists",
+        "filters", "post_filters", "bind", "select", "distinct",
+        "construct", "group_by", "aggs", "having", "order_by", "limit",
+        "ask", "stats",
     }
     if unknown:
         raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
@@ -166,6 +183,12 @@ def main() -> None:
             "derived table this run should query)"
         )
     patterns = _decode_patterns(spec.get("patterns", []), "required")
+    union = [
+        _decode_patterns(g, "union") for g in spec.get("union", [])
+    ] or None
+    # "stats": true = one groupBy(pred).count() pass over the queried
+    # table, switching join order to estimated-cardinality order.
+    stats = predicate_stats(triples) if spec.get("stats") else None
     optional = [
         _decode_patterns(g, "optional") for g in spec.get("optional", [])
     ] or None
@@ -188,11 +211,13 @@ def main() -> None:
             triples,
             patterns,
             template,
+            union_patterns=union,
             optional_patterns=optional,
             exists_patterns=exists,
             not_exists_patterns=not_exists,
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
+            stats=stats,
         )
     elif has_agg:
         result = bgp_aggregate(
@@ -200,17 +225,20 @@ def main() -> None:
             patterns=patterns,
             group_by=spec.get("group_by") or [],
             aggs=spec["aggs"],
+            union_patterns=union,
             optional_patterns=optional,
             exists_patterns=exists,
             not_exists_patterns=not_exists,
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
             having=spec.get("having") or None,
+            stats=stats,
         )
     else:
         result = bgp_query(
             triples,
             patterns=patterns,
+            union_patterns=union,
             optional_patterns=optional,
             exists_patterns=exists,
             not_exists_patterns=not_exists,
@@ -219,6 +247,7 @@ def main() -> None:
             bind=spec.get("bind") or None,
             select=spec.get("select") or None,
             distinct=bool(spec.get("distinct", False)),
+            stats=stats,
         )
     if spec.get("ask"):
         # SPARQL ASK: does ANY binding exist? limit(1) stops the scan
@@ -240,17 +269,24 @@ def main() -> None:
         print(result._sc._jvm.PythonSQLUtils.explainString(
             result._jdf.queryExecution(), "formatted"
         ), file=sys.stderr)
+    cols = result.columns
     if args.write:
-        snap = IceLite(f"{args.out}/query_{args.write}").overwrite(result)
-        n = IceLite(f"{args.out}/query_{args.write}").manifest(snap)[
-            "total_rows"
-        ]
+        tab = IceLite(f"{args.out}/query_{args.write}")
+        snap = tab.overwrite(result)
+        n = tab.manifest(snap)["total_rows"]
+        # sample from the WRITTEN table — re-running the join tree for
+        # the sample would recompute the whole query.
+        result = tab.load(spark)
     else:
         n = result.count()
-    cols = result.columns
-    sample = [
-        list(r) for r in result.orderBy(*cols).limit(args.show).collect()
-    ]  # bounded: --show rows
+    # a spec whose patterns are all fully bound (existence gates) and
+    # no 'ask' yields a ZERO-COLUMN result: orderBy(*[]) throws, and
+    # there is nothing to sample — report the row count only.
+    sample = (
+        [list(r) for r in result.orderBy(*cols).limit(args.show).collect()]
+        if cols
+        else []
+    )  # bounded: --show rows
     print(
         json.dumps(
             {

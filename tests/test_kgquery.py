@@ -607,3 +607,234 @@ class TestConstruct:
 
         with pytest.raises(ValueError, match="template"):
             construct(triples_df, [("?a", "knows", "?b")], [])
+
+
+def brute_closure(triples, pred, min_hops):
+    """Transitive-closure oracle: Warshall over the pred's edge set;
+    min_hops=0 adds (v, v) for every incident vertex."""
+    edges = {(s, o) for (s, p, o) in triples if p == pred}
+    verts = sorted({v for e in edges for v in e})
+    reach = {v: {o for (s, o) in edges if s == v} for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for v in verts:
+            ext = set().union(*(reach.get(m, set()) for m in reach[v])) \
+                if reach[v] else set()
+            if not ext <= reach[v]:
+                reach[v] |= ext
+                changed = True
+    pairs = {(v, o) for v in verts for o in reach[v]}
+    if min_hops == 0:
+        pairs |= {(v, v) for v in verts}
+    return sorted(pairs)
+
+
+class TestClosure:
+    """Unbounded property-path closure (Path(p, m, None) →
+    closure_pairs): doubling fixpoint (both endpoints variable) and
+    seeded BFS fixpoint (a bound endpoint), vs a Warshall oracle —
+    including TERMINATION on the knows-cycle c1→c2→c3→c1."""
+
+    def test_plus_full_closure_on_cycle_terminates(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        out = bgp_query(triples_df, [("?a", Path("knows", 1, None), "?b")])
+        assert got(out) == brute_closure(TRIPLES, "knows", 1)
+        # the cycle members reach themselves via the loop (p+ semantics)
+        assert ("c1", "c1") in set(got(out))
+
+    def test_star_full_closure_reflexive(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        out = bgp_query(triples_df, [("?a", Path("knows", 0, None), "?b")])
+        assert got(out) == brute_closure(TRIPLES, "knows", 0)
+        # c4 has only an INCOMING knows edge: reflexive row still there
+        assert ("c4", "c4") in set(got(out))
+
+    def test_plus_seeded_from_bound_subject(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        out = bgp_query(triples_df, [("c2", Path("knows", 1, None), "?b")])
+        expect = sorted(
+            (b,) for (a, b) in brute_closure(TRIPLES, "knows", 1)
+            if a == "c2"
+        )
+        assert got(out) == expect
+
+    def test_star_seeded_from_bound_object(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        out = bgp_query(triples_df, [("?a", Path("knows", 0, None), "c4")])
+        expect = sorted(
+            (a,) for (a, b) in brute_closure(TRIPLES, "knows", 0)
+            if b == "c4"
+        )
+        assert got(out) == expect
+
+    def test_closure_composes_with_chain(self, triples_df):
+        from antnre_spark.kgquery import Path
+
+        # everything under r1 via in_nation/in_region closure:
+        # alternation + unbounded plus, then join a plain pattern
+        out = bgp_query(
+            triples_df,
+            [
+                ("?x", Path(["in_nation", "in_region"], 1, None), "?r"),
+                ("?r", "part_of", "w"),
+            ],
+        )
+        alt = [
+            (s, "up", o)
+            for (s, p, o) in TRIPLES
+            if p in ("in_nation", "in_region")
+        ]
+        # default projection is sorted variable names: (r, x)
+        expect = sorted(
+            (b, a)
+            for (a, b) in brute_closure(alt, "up", 1)
+            if (b, "part_of", "w") in TRIPLES
+        )
+        assert got(out) == expect
+
+    def test_unbounded_min_validated(self, triples_df):
+        from antnre_spark.kgquery import Path, closure_pairs
+
+        with pytest.raises(ValueError, match="min_hops"):
+            Path("knows", 2, None)
+        with pytest.raises(ValueError, match="min_hops"):
+            closure_pairs(triples_df, "knows", 2)
+
+
+class TestUnion:
+    """SPARQL UNION of binding groups: bag union, NULL-padded disjoint
+    variables, joined with required patterns per the algebra identity
+    A . {B UNION C} == (A.B) UNION (A.C)."""
+
+    def test_union_of_two_groups_vs_brute(self, triples_df):
+        out = bgp_query(
+            triples_df,
+            [],
+            union_patterns=[
+                [("?m", "in_nation", "?n")],
+                [("?m", "knows", "?f")],
+            ],
+        )
+        # shared var m, disjoint n/f — NULL where the branch lacks it
+        expect = sorted(
+            [(f, m, None) for (m, p, f) in TRIPLES if p == "knows"]
+            + [(None, m, n) for (m, p, n) in TRIPLES if p == "in_nation"],
+            key=lambda t: tuple((x is None, x) for x in t))
+        rows = sorted(
+            [(r["f"], r["m"], r["n"]) for r in out.collect()],
+            key=lambda t: tuple((x is None, x) for x in t))
+        assert rows == expect
+
+    def test_union_joined_with_required(self, triples_df):
+        # A . {B UNION C}: nation members via in_nation, each with
+        # either a region (branch 1) or a friend (branch 2)
+        out = bgp_query(
+            triples_df,
+            [("?m", "in_nation", "?n")],
+            union_patterns=[
+                [("?n", "in_region", "?r")],
+                [("?m", "knows", "?r")],
+            ],
+        )
+        b1 = brute(
+            TRIPLES, [("?m", "in_nation", "?n"), ("?n", "in_region", "?r")]
+        )
+        b2 = brute(
+            TRIPLES, [("?m", "in_nation", "?n"), ("?m", "knows", "?r")]
+        )
+        assert got(out) == sorted(b1 + b2)
+
+    def test_union_distinct_dedupes_across_groups(self, triples_df):
+        # identical groups: bag union doubles, distinct collapses
+        g = [("?m", "in_nation", "?n")]
+        bag = bgp_query(triples_df, [], union_patterns=[g, g])
+        assert bag.count() == 2 * len(
+            [t for t in TRIPLES if t[1] == "in_nation"]
+        )
+        st = bgp_query(triples_df, [], union_patterns=[g, g], distinct=True)
+        assert got(st) == brute(TRIPLES, g, distinct=True)
+
+    def test_union_then_optional_and_filter(self, triples_df):
+        # filters apply AFTER the union; optional after that
+        out = bgp_query(
+            triples_df,
+            [],
+            union_patterns=[
+                [("?m", "in_nation", "n1")],
+                [("?m", "likes", "?m")],
+            ],
+            filters=["m LIKE 'c%'"],
+            optional_patterns=[[("?m", "knows", "?f")]],
+        )
+        members = [s for (s, p, o) in TRIPLES
+                   if (p == "in_nation" and o == "n1") or
+                      (p == "likes" and s == o)]
+        members = [m for m in members if m.startswith("c")]
+        expect = []
+        for m in members:
+            friends = [o for (s, p, o) in TRIPLES
+                       if p == "knows" and s == m]
+            if friends:
+                expect.extend((f, m) for f in friends)
+            else:
+                expect.append((None, m))
+        key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        rows = [tuple(r) for r in out.collect()]
+        assert sorted(rows, key=key) == sorted(expect, key=key)
+
+    def test_empty_patterns_without_union_raises(self, triples_df):
+        with pytest.raises(ValueError, match="empty pattern"):
+            bgp_query(triples_df, [])
+
+    def test_disjoint_union_group_raises(self, triples_df):
+        with pytest.raises(ValueError, match="union group"):
+            bgp_query(
+                triples_df,
+                [("?m", "in_nation", "?n")],
+                union_patterns=[[("?x", "part_of", "?y")]],
+            )
+
+
+class TestStatsOrder:
+    """Stats-hinted join order: per-predicate counts rank two
+    one-bound patterns by actual cardinality (the syntactic heuristic
+    ranks them equal)."""
+
+    def test_predicate_stats_counts(self, triples_df):
+        from antnre_spark.kgquery import predicate_stats
+
+        st = predicate_stats(triples_df)
+        assert st["in_nation"] == 6 and st["likes"] == 1
+
+    def test_small_predicate_seeds_chain(self, triples_df):
+        from antnre_spark.kgquery import _order, predicate_stats
+
+        st = predicate_stats(triples_df)
+        # both one-bound (pred only): syntactic order keeps list order,
+        # stats order seeds with the 1-row likes scan
+        pats = [("?a", "in_nation", "?n"), ("?a", "likes", "?b")]
+        assert _order(pats, False) == [0, 1]
+        assert _order(pats, False, st) == [1, 0]
+
+    def test_bound_term_divides_estimate(self, triples_df):
+        from antnre_spark.kgquery import _est_cost, predicate_stats
+
+        st = predicate_stats(triples_df)
+        loose = _est_cost(("?a", "in_nation", "?n"), st)
+        tight = _est_cost(("?a", "in_nation", "n1"), st)
+        assert tight < loose
+        # absent predicate = empty scan = maximally selective
+        assert _est_cost(("?a", "nope", "?b"), st) == 0.0
+
+    def test_stats_results_identical(self, triples_df):
+        from antnre_spark.kgquery import predicate_stats
+
+        st = predicate_stats(triples_df)
+        pats = [("?c", "in_nation", "?n"), ("?n", "in_region", "?r")]
+        assert got(bgp_query(triples_df, pats, stats=st)) == \
+            brute(TRIPLES, pats)

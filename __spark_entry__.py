@@ -1127,7 +1127,8 @@ def q_gr_scc(spark, sf_dir):
     uncapped 25-ring chain measured 2.4x slower with identical
     coverage). Every ring is one SCC
     labeled by its lexicographic-min member = the nation's min custkey
-    (ids zero-padded so string order == numeric order). The DuckDB
+    (ids zero-padded to 9 digits so string order == numeric order up to
+    SF ~6700 — r6 ADVICE: 6-digit padding broke past c_custkey 10^6). The DuckDB
     twin computes that closed form directly — no recursion."""
     import sys
 
@@ -1137,7 +1138,7 @@ def q_gr_scc(spark, sf_dir):
     from antnre_spark.graph import strongly_connected_components
 
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.format_string("c%06d", F.col("c_custkey")).alias("v"),
+        F.format_string("c%09d", F.col("c_custkey")).alias("v"),
         F.col("c_nationkey").alias("nk"),
     )
     w = Window.partitionBy("nk").orderBy("v")
@@ -1163,8 +1164,8 @@ def q_gr_scc(spark, sf_dir):
 
 
 SQL_GR_SCC = """
-SELECT printf('c%06d', c_custkey) AS vertex,
-       printf('c%06d', MIN(c_custkey) OVER (PARTITION BY c_nationkey))
+SELECT printf('c%09d', c_custkey) AS vertex,
+       printf('c%09d', MIN(c_custkey) OVER (PARTITION BY c_nationkey))
          AS component
 FROM customer
 ORDER BY vertex
@@ -1627,7 +1628,12 @@ sh AS (
            i -> list_sum(list_transform(toks[i:i+2],
                   (x, j) -> j * ('0x' || substr(md5(x), 1, 8))::BIGINT)))) AS grams
   FROM d WHERE len(toks) >= 3),
-ex AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS g FROM sh),
+ex0 AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+hot AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) > 64),
+ex1 AS (SELECT ex0.doc_id, ex0.g FROM ex0 ANTI JOIN hot USING (g)),
+sized AS (SELECT doc_id, count(*) AS n_sh FROM ex1 GROUP BY doc_id),
+ex AS (SELECT ex1.doc_id, sized.n_sh, ex1.g
+       FROM ex1 JOIN sized USING (doc_id)),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
          count(*) AS shared

@@ -652,7 +652,10 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 100) -> DataFrame:
     Per iteration: one degree aggregation, two semi-joins, one bounded
     scalar (the surviving-edge count, doubling as the convergence
     check). Terminates in at most |V| rounds; real graphs converge in
-    a handful.
+    a handful. Hitting ``max_iterations`` without a fixpoint raises
+    (the partially-peeled edge set is a SUPERSET of the k-core —
+    returning it silently would contradict the module's honest-failure
+    posture, same as strongly_connected_components' max_rounds).
     """
     cur = edges
     prev_n = None
@@ -674,6 +677,12 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 100) -> DataFrame:
         if n_edges == prev_n or n_edges == 0:
             break
         prev_n = n_edges
+    else:
+        raise RuntimeError(
+            f"k_core: no fixpoint after {max_iterations} peeling rounds "
+            "(pathological long-chain graph?) — the surviving edge set "
+            "is still a superset of the k-core; raise max_iterations"
+        )
     return (
         cur.select(F.col("src").alias("v"))
         .unionByName(cur.select(F.col("dst").alias("v")))

@@ -106,6 +106,24 @@ class IceLite:
                 f"commit; re-read current_snapshot() and retry (or drain "
                 f"the concurrent writer — see jobs/compact.py)"
             ) from None
+        except OSError:
+            # filesystem without hard-link support (some FUSE/object-
+            # store mounts): fall back to O_CREAT|O_EXCL create+write —
+            # still exclusive (EEXIST -> the concurrency error above),
+            # not atomic-with-content, but the writer-unique tmp already
+            # holds the full bytes and this copy is a short tail risk
+            # vs refusing every commit on such mounts.
+            try:
+                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"snapshot {snap} of {self.path} was committed by "
+                    f"another writer (exclusive-create fallback); re-read "
+                    f"current_snapshot() and retry"
+                ) from None
+            with os.fdopen(fd, "w") as out:
+                with open(tmp) as src:
+                    out.write(src.read())
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)

@@ -42,6 +42,56 @@ class TestNgramJaccard:
         assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
         assert (0, 3) not in pairs
 
+    def test_hot_shingle_cap_bounds_join_unchanged_pair_set(self, spark):
+        """r6 verdict task 5: one stop-trigram shared by most docs must
+        not degenerate the shingle self-join toward all-pairs. Plant a
+        universal trigram across 60 otherwise-disjoint docs plus two
+        true near-dups: with the cap, the planted stop-shingle produces
+        NO pairs among the disjoint docs (bounded pair count) while the
+        tau=0.8 near-dup pair survives with its capped-space Jaccard;
+        uncapped (max_df=None) the stop-shingle alone manufactures
+        C(62,2) pair rows in the pre-threshold join."""
+        stop = "the end of transmission"
+        rows = [
+            (i, f"unique body {i} alpha{i} beta{i} gamma{i} {stop}")
+            for i in range(60)
+        ]
+        near = "spark shuffles hash partitions across executor cores nightly"
+        rows += [(100, near + " " + stop), (101, near + " again " + stop)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        stats = dedup.ngram_shingle_stats(df, max_df=32).collect()[0]
+        assert stats["max_df_seen"] >= 60        # the planted stop-shingle
+        assert stats["dropped_frac"] > 0.0       # the cap is measurable
+        capped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, tau=0.5, max_df=32
+            ).collect()
+        }
+        assert (100, 101) in capped              # true near-dup survives
+        assert all(a >= 100 for (a, b) in capped)  # no stop-word pairs
+        # uncapped, the pre-threshold join would fan every stop-shingle
+        # doc against every other: assert the degenerate mass exists by
+        # lowering tau under the uncapped semantics
+        uncapped = dedup.ngram_jaccard_pairs(
+            df, tau=0.001, max_df=None
+        ).count()
+        assert uncapped > 60 * 59 / 2            # ~all-pairs on the key
+
+    def test_cap_none_restores_textbook_semantics(self, docs):
+        a = sorted(
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(docs, tau=0.5).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, tau=0.5, max_df=None
+            ).collect()
+        )
+        assert a == b  # fixture corpus has no shingle past the cap
+
 
 class TestMinHashLSH:
     def test_candidates_cover_true_dups(self, docs):

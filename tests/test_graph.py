@@ -163,6 +163,19 @@ class TestKCore:
         # the ring survives (each ring vertex has degree >= 2)
         assert {vid(i) for i in range(10)} <= got
 
+    def test_iteration_cap_raises_not_superset(self, spark):
+        """r6 ADVICE: hitting max_iterations without a fixpoint must
+        RAISE (honest failure), never silently return the partially-
+        peeled superset. A 12-vertex path peels one layer per round, so
+        2 rounds cannot reach the (empty) 2-core fixpoint."""
+        chain = spark.createDataFrame(
+            [(f"p{i}", f"p{i+1}") for i in range(12)], ["src", "dst"]
+        )
+        with pytest.raises(RuntimeError, match="k_core: no fixpoint"):
+            graph.k_core(chain, 2, max_iterations=2)
+        # with room to converge the same graph resolves (empty 2-core)
+        assert graph.k_core(chain, 2).count() == 0
+
 
 def numpy_n_hop(seeds: set[int], n: int, direction: str) -> dict[int, int]:
     fwd = {}

@@ -212,14 +212,33 @@ FROM events WHERE event_type = 'purchase' AND value > 50
 
 
 def q_b2_normalize(spark, sf_dir):
-    return _doc(spark, sf_dir).select(
+    """B2 text normalization + G1 normalization-key dedup counts MERGED
+    (r7 rotation: frees a 50-cap slot so the r6 flagship rows sit
+    inside the driver's CORRECTNESS window — same precedent as the
+    r3/r5/r6 merges). Both original function exercises survive
+    verbatim: the per-doc _norm_text projection (B2) and the
+    count/countDistinct over the normalization key (G1), attached via
+    a crossJoin with the 1-row aggregate (broadcast nested loop of a
+    single row — no shuffle added)."""
+    d = _doc(spark, sf_dir).select(
         "doc_id", _norm_text(F.col("text")).alias("norm_text")
     )
+    g = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("norm_text").alias("n_distinct"),
+    )
+    return d.crossJoin(g)
 
 
 SQL_B2 = """
-SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
-FROM documents
+WITH d AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text,
+       (SELECT count(*) FROM d) AS n_docs,
+       (SELECT count(DISTINCT norm_text) FROM d) AS n_distinct
+FROM d
 """
 
 
@@ -292,13 +311,27 @@ SELECT user_id, (sum(new_sess) + 1)::BIGINT AS n_sessions FROM (
 # ---- D: tokenization, vocabulary ----------------------------------------
 
 def q_d2_token_count(spark, sf_dir):
+    """D2 tokenization + D1 sentence segmentation MERGED (r7 rotation:
+    frees a 50-cap slot for the r6 flagship rows). One scan, both
+    original function exercises verbatim: the JVM split-on-whitespace
+    token count (D2) and the pandas-UDF sentence splitter vs its regex
+    twin (D1) — the merged demo still crosses the Arrow boundary."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.segment import split_sentences_udf
+
     return _doc(spark, sf_dir).select(
-        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(split_sentences_udf(F.col("text"))).alias("n_sents"),
     )
 
 
 SQL_D2 = """
-SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_extract_all(text, '[.!?]\\s+')) + 1 END AS n_sents
 FROM documents
 """
 
@@ -380,21 +413,6 @@ GROUP BY a.n_regionkey
 
 
 # ---- G: normalization dedup, salted agg, jaccard, CC step ---------------
-
-def q_g1_norm_dedup(spark, sf_dir):
-    d = _doc(spark, sf_dir).select(_norm_text(F.col("text")).alias("norm"))
-    return d.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("norm").alias("n_distinct"),
-    )
-
-
-SQL_G1 = """
-SELECT count(*) AS n_docs,
-       count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_distinct
-FROM documents
-"""
-
 
 def q_g3_salted_agg(spark, sf_dir):
     """Salted two-level aggregation; the DuckDB twin is the PLAIN group-by,
@@ -579,23 +597,6 @@ SELECT 'all', count(*) FROM (
 """
 
 
-def q_h5_topk(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.groupBy("l_partkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .orderBy(F.col("total_qty").desc(), F.col("l_partkey").asc())
-        .limit(10)
-    )
-
-
-SQL_H5 = """
-SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty
-FROM lineitem GROUP BY l_partkey
-ORDER BY total_qty DESC, l_partkey ASC LIMIT 10
-"""
-
-
 # ---- I: join kinds ------------------------------------------------------
 
 def q_i_semi_anti_join(spark, sf_dir):
@@ -700,26 +701,44 @@ FROM views v ASOF LEFT JOIN purchases p
 
 
 def q_h_rollup(spark, sf_dir):
-    """Hierarchical aggregate (§2.H widening): ROLLUP over
-    (returnflag, linestatus) with grouping_id distinguishing subtotal
-    levels — the lineage-dashboard shape for partition metrics."""
+    """Hierarchical aggregate (§2.H widening) + H5 degree/volume top-k
+    MERGED (r7 rotation: frees a 50-cap slot for the r6 flagship
+    rows). Section 'rollup': ROLLUP over (returnflag, linestatus) with
+    grouping_id distinguishing subtotal levels — the lineage-dashboard
+    shape. Section 'topk': groupBy + orderBy + limit(10) — Spark still
+    plans TakeOrderedAndProject for the branch (top-k per partition +
+    driver merge, never a full sort). Branch schemas are disjoint, so
+    the union NULL-pads — the same shape the i_semi_anti_join r3 merge
+    established."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count("*").alias("n_rows"),
-            F.grouping_id().alias("gid"),
-        )
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+        F.grouping_id().alias("gid"),
+    ).select(F.lit("rollup").alias("section"), "*")
+    topk = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), F.col("l_partkey").asc())
+        .limit(10)
+        .select(F.lit("topk").alias("section"), "*")
     )
+    return rollup.unionByName(topk, allowMissingColumns=True)
 
 
 SQL_H_ROLLUP = """
-SELECT l_returnflag, l_linestatus,
+SELECT 'rollup' AS section, l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        count(*) AS n_rows,
-       grouping(l_returnflag, l_linestatus) AS gid
+       grouping(l_returnflag, l_linestatus) AS gid,
+       CAST(NULL AS BIGINT) AS l_partkey,
+       CAST(NULL AS DOUBLE) AS total_qty
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'topk', NULL, NULL, NULL, NULL, NULL, l_partkey, total_qty
+FROM (SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY total_qty DESC, l_partkey ASC LIMIT 10)
 """
 
 
@@ -1114,6 +1133,158 @@ WHERE p1.pred = 'in_nation'
 """
 
 
+def q_kq_union(spark, sf_dir):
+    """SPARQL UNION of binding groups (kgquery.bgp_query
+    union_patterns, r7): nations of region r0 with their members via
+    TWO union branches — customers-with-orders (binds ?m, ?ord) and
+    suppliers (binds ?w) — joined with the required region pattern per
+    the algebra identity A.{B UNION C} == (A.B) UNION (A.C), variables
+    a branch does not bind NULL-padded (SPARQL unbound). Exercises the
+    r7 stats-hinted join order too (predicate_stats pass). The DuckDB
+    twin writes the same two join trees UNION ALL'd with typed
+    NULLs."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.kgquery import bgp_query, predicate_stats
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def t(df, s_col, pred, o_col, s_tag, o_tag):
+        return df.select(
+            F.concat(F.lit(s_tag), F.col(s_col).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(o_tag), F.col(o_col).cast("string")).alias("obj"),
+        )
+
+    triples = (
+        t(c, "c_custkey", "in_nation", "c_nationkey", "c", "n")
+        .unionByName(t(s, "s_suppkey", "s_nation", "s_nationkey", "s", "n"))
+        .unionByName(t(n, "n_nationkey", "in_region", "n_regionkey", "n", "r"))
+        .unionByName(t(o, "o_custkey", "placed", "o_orderkey", "c", "o"))
+    )
+    return bgp_query(
+        triples,
+        patterns=[("?n", "in_region", "r0")],
+        union_patterns=[
+            [("?m", "in_nation", "?n"), ("?m", "placed", "?ord")],
+            [("?w", "s_nation", "?n")],
+        ],
+        stats=predicate_stats(triples),
+    )
+
+
+SQL_KQ_UNION = """
+WITH t AS (
+  SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
+         'n' || c_nationkey AS obj FROM customer
+  UNION ALL
+  SELECT 's' || s_suppkey, 's_nation', 'n' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey FROM nation
+  UNION ALL
+  SELECT 'c' || o_custkey, 'placed', 'o' || o_orderkey FROM orders
+)
+SELECT p1.subj AS m, nr.subj AS n, p2.obj AS ord,
+       CAST(NULL AS VARCHAR) AS w
+FROM t nr
+JOIN t p1 ON p1.pred = 'in_nation' AND p1.obj = nr.subj
+JOIN t p2 ON p2.pred = 'placed' AND p2.subj = p1.subj
+WHERE nr.pred = 'in_region' AND nr.obj = 'r0'
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), nr.subj, CAST(NULL AS VARCHAR), p3.subj
+FROM t nr
+JOIN t p3 ON p3.pred = 's_nation' AND p3.obj = nr.subj
+WHERE nr.pred = 'in_region' AND nr.obj = 'r0'
+"""
+
+
+def q_kq_closure(spark, sf_dir):
+    """UNBOUNDED property-path closure (kgquery.Path(p, 1, None) →
+    closure_pairs, r7): ``under+`` over a hierarchy that is genuinely
+    CYCLIC — customer -under-> nation -under-> region -under-> 'w'
+    -under-> 'r0' (the world node loops back into region r0), so the
+    pointer-doubling fixpoint must terminate by reaching a stable pair
+    count, not by running out of levels. Customers of region r0 reach
+    {their nation, r0, w}; others reach {nation, region, w, r0}. The
+    DuckDB twin is a recursive CTE (UNION = set semantics, the
+    recursive-SQL way to terminate on a cycle)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.kgquery import Path, bgp_query
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    u = F.lit("under").alias("pred")
+    triples = (
+        c.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "subj"
+            ),
+            u,
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+                "obj"
+            ),
+        )
+        .unionByName(
+            n.select(
+                F.concat(
+                    F.lit("n"), F.col("n_nationkey").cast("string")
+                ).alias("subj"),
+                u,
+                F.concat(
+                    F.lit("r"), F.col("n_regionkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            r.select(
+                F.concat(
+                    F.lit("r"), F.col("r_regionkey").cast("string")
+                ).alias("subj"),
+                u,
+                F.lit("w").alias("obj"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("w", "under", "r0")], ["subj", "pred", "obj"]
+            )
+        )
+    )
+    return bgp_query(
+        triples,
+        patterns=[("?x", Path("under", 1, None), "?y")],
+        filters=["x LIKE 'c%'"],
+    )
+
+
+SQL_KQ_CLOSURE = """
+WITH RECURSIVE t AS (
+  SELECT 'c' || c_custkey AS subj, 'under' AS pred,
+         'n' || c_nationkey AS obj FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey, 'under', 'r' || n_regionkey FROM nation
+  UNION ALL
+  SELECT 'r' || r_regionkey, 'under', 'w' FROM region
+  UNION ALL
+  SELECT 'w', 'under', 'r0'
+),
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM t WHERE pred = 'under'),
+cl AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT cl.a, e.b FROM cl JOIN e ON cl.b = e.a
+)
+SELECT DISTINCT a AS x, b AS y FROM cl WHERE a LIKE 'c%'
+"""
+
+
 def q_gr_scc(spark, sf_dir):
     """Directed strongly connected components (graph.
     strongly_connected_components, r6 — FW-BW-Trim) on a graph whose
@@ -1241,16 +1412,19 @@ FROM customer GROUP BY 1, 2, 3
 
 
 def q_k_json_map(spark, sf_dir):
-    """Map/JSON + datetime family closure (SURVEY.md §2 K.map/json and
-    K.datetime; merged r3 from the former k_json + k_map_funcs demos,
-    r6 folds in the former k_datetime row — same functions, one row,
-    freeing a 50-cap slot for gr_pagerank): get_json_object, from_json
-    -> map, map_entries -> transform -> map_from_entries (value
-    rewrite), map_keys, element_at; date_trunc/date_format (day and
-    hour grain) and numeric day-of-week (Spark dayofweek is 1=Sunday,
-    DuckDB's %w is 0=Sunday — the -1 aligns them). The DuckDB twin
-    reads the same facts straight from the JSON (json_keys /
-    json_extract_string) and strftime."""
+    """Map/JSON + datetime + ARRAY family closure (SURVEY.md §2
+    K.map/json, K.datetime, K.array; merged r3 from the former k_json
+    + k_map_funcs demos, r6 folds in the former k_datetime row, r7
+    folds in the former k_array_funcs row — same functions, one row,
+    freeing 50-cap slots for flagship rows): section 'jsonmap' —
+    get_json_object, from_json -> map, map_entries -> transform ->
+    map_from_entries (value rewrite), map_keys, element_at;
+    date_trunc/date_format (day and hour grain) and numeric
+    day-of-week (Spark dayofweek is 1=Sunday, DuckDB's %w is 0=Sunday
+    — the -1 aligns them). Section 'array' — size / aggregate /
+    array_max plus flatten / slice / zip_with over nested arrays. The
+    DuckDB twin reads the same facts straight from the JSON (json_keys
+    / json_extract_string), strftime, and list_* functions."""
     ev = _ev(spark, sf_dir).withColumn(
         "m", F.from_json("props", "map<string,int>")
     )
@@ -1262,8 +1436,9 @@ def q_k_json_map(spark, sf_dir):
             ),
         )
     )
-    return ev.select(
-        "event_id",
+    jsonmap = ev.select(
+        F.lit("jsonmap").alias("section"),
+        F.col("event_id").cast("long").alias("event_id"),
         F.get_json_object("props", "$.k").cast("int").alias("k"),
         F.size("m").alias("n_keys"),
         F.concat_ws(",", F.map_keys("m")).alias("keys"),
@@ -1272,33 +1447,15 @@ def q_k_json_map(spark, sf_dir):
         F.date_format(F.date_trunc("hour", "ts"), "HH").alias("hh"),
         (F.dayofweek("ts") - F.lit(1)).alias("dow"),
     )
-
-
-SQL_K_JSON_MAP = """
-SELECT event_id,
-       json_extract_string(props, '$.k')::INT AS k,
-       len(json_keys(props))::INT AS n_keys,
-       array_to_string(json_keys(props), ',') AS keys,
-       json_extract_string(props, '$.k')::INT * 2 AS k2,
-       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       strftime(date_trunc('hour', ts), '%H') AS hh,
-       strftime(ts, '%w')::INT AS dow
-FROM events
-"""
-
-
-def q_k_array_funcs(spark, sf_dir):
-    """Array family closure (SURVEY.md §2 K.array, merged r3 from the
-    former k_array_funcs + k_nested_arrays demos): size / aggregate /
-    array_max plus flatten / slice / zip_with over nested arrays."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     nested = F.array(F.slice(v, 1, 2), F.slice(v, 3, 2))
     flat = F.flatten(nested)
     pairwise = F.zip_with(F.slice(v, 1, 4), flat, lambda a, b: a * b)
-    return e.select(
-        "vec_id",
+    arr = e.select(
+        F.lit("array").alias("section"),
+        F.col("vec_id").cast("long").alias("vec_id"),
         F.size("embedding").alias("dim"),
         F.round(l2, 4).alias("l2"),
         F.round(F.array_max(v), 4).alias("max_val"),
@@ -1307,38 +1464,36 @@ def q_k_array_funcs(spark, sf_dir):
             F.aggregate(pairwise, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("dot4"),
     )
+    return jsonmap.unionByName(arr, allowMissingColumns=True)
 
 
-SQL_K_ARRAY = """
-SELECT vec_id, len(embedding) AS dim,
-       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS l2,
-       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS max_val,
-       len(flatten([e4[1:2], e4[3:4]])) AS n_flat,
-       round(list_sum(list_transform(e4, x -> x * x)), 6) AS dot4
+SQL_K_JSON_MAP = """
+SELECT 'jsonmap' AS section,
+       event_id::BIGINT AS event_id,
+       json_extract_string(props, '$.k')::INT AS k,
+       len(json_keys(props))::INT AS n_keys,
+       array_to_string(json_keys(props), ',') AS keys,
+       json_extract_string(props, '$.k')::INT * 2 AS k2,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '%H') AS hh,
+       strftime(ts, '%w')::INT AS dow,
+       CAST(NULL AS BIGINT) AS vec_id,
+       CAST(NULL AS INT) AS dim,
+       CAST(NULL AS DOUBLE) AS l2,
+       CAST(NULL AS DOUBLE) AS max_val,
+       CAST(NULL AS INT) AS n_flat,
+       CAST(NULL AS DOUBLE) AS dot4
+FROM events
+UNION ALL
+SELECT 'array', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       vec_id::BIGINT, len(embedding)::INT,
+       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4),
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4),
+       len(flatten([e4[1:2], e4[3:4]]))::INT,
+       round(list_sum(list_transform(e4, x -> x * x)), 6)
 FROM (SELECT vec_id, embedding,
              list_transform(embedding[1:4], x -> x::DOUBLE) AS e4
       FROM embeddings)
-"""
-
-
-# ---- D1: sentence segmentation (pandas-UDF splitter vs regex twin) ------
-
-def q_d1_sentence_count(spark, sf_dir):
-    import sys
-
-    sys.path.insert(0, REPO)
-    from antnre_spark.segment import split_sentences_udf
-
-    return _doc(spark, sf_dir).select(
-        "doc_id", F.size(split_sentences_udf(F.col("text"))).alias("n_sents")
-    )
-
-
-SQL_D1 = """
-SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_extract_all(text, '[.!?]\\s+')) + 1 END AS n_sents
-FROM documents
 """
 
 
@@ -1517,39 +1672,32 @@ FROM documents
 # ---- curation -----------------------------------------------------------
 
 def q_cu_sample(spark, sf_dir):
-    """Deterministic md5-keyed sampling: stable across runs, partitionings
-    AND engines — the oracle applies the identical bucket expression."""
+    """Deterministic md5-keyed sampling + per-source quota MERGED (r7
+    rotation: frees a 50-cap slot for the r6 flagship rows); identical
+    row schemas, so the merge is a tagged unionAll and both original
+    function exercises survive verbatim: the engine-portable md5
+    bucket expression (stable across runs, partitionings AND engines)
+    and the row_number-per-source anti-domination window."""
     import sys
 
     sys.path.insert(0, REPO)
-    from antnre_spark.curate import deterministic_sample
+    from antnre_spark.curate import deterministic_sample, per_source_quota
 
-    return deterministic_sample(_doc(spark, sf_dir), rate=0.25).select(
-        "doc_id", "source"
+    d = _doc(spark, sf_dir)
+    sample = deterministic_sample(d, rate=0.25).select(
+        F.lit("sample").alias("stage"), "doc_id", "source"
     )
+    quota = per_source_quota(d, quota=10).select(
+        F.lit("quota").alias("stage"), "doc_id", "source"
+    )
+    return sample.unionAll(quota)
 
 
 SQL_CU_SAMPLE = """
-SELECT doc_id, source FROM documents
+SELECT 'sample' AS stage, doc_id, source FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < 250000
-"""
-
-
-def q_cu_quota(spark, sf_dir):
-    """Per-source quota (anti-domination before corpus mixing): at most 10
-    docs per source, first by doc_id."""
-    import sys
-
-    sys.path.insert(0, REPO)
-    from antnre_spark.curate import per_source_quota
-
-    return per_source_quota(_doc(spark, sf_dir), quota=10).select(
-        "doc_id", "source"
-    )
-
-
-SQL_CU_QUOTA = """
-SELECT doc_id, source FROM (
+UNION ALL
+SELECT 'quota', doc_id, source FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
   FROM documents) WHERE rn <= 10
@@ -1823,53 +1971,46 @@ def _bucket_sql(n_planes: int, dim: int) -> str:
     return _bucket_sql_from(plane_weights(dim, n_planes))
 
 
-def q_dd_cosine_lsh(spark, sf_dir):
-    """Hyperplane-LSH cosine near-dup pairs. FULLY oracle-checked: the
-    plane weights are engine-portable literals, so DuckDB recomputes the
-    identical buckets, applies the identical max_bucket cap, and joins —
-    value equality covers bucketing + cap + cosine."""
-    import sys
-
-    sys.path.insert(0, REPO)
-    from antnre_spark.dedup import cosine_dup_pairs
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    # n_planes sized for the SF corpus (500-5000 vectors -> 8 planes keeps
-    # buckets populated); the oracle embeds the same 8-plane weights
-    return cosine_dup_pairs(e, tau=0.35, n_planes=8, dim=len(_query_vec(sf_dir)))
-
-
 # demo params shared by the banded Spark query and its DuckDB twin
 _BANDED_PLANES, _BANDED_BANDS, _BANDED_TAU, _BANDED_CAP = 6, 3, 0.35, 64
 
 
 def q_dd_cosine_lsh_banded(spark, sf_dir):
-    """Banded multi-plane cosine LSH (dedup.cosine_dup_pairs_banded —
-    the recall-recovery path over the single-set operator). FULLY
-    oracle-checked: DuckDB recomputes the identical 3x6 banded buckets
-    from the same plane-weight literals, applies the identical per-band
-    cap, dedups candidates across bands, and verifies with the same
+    """Hyperplane-LSH cosine near-dup pairs, single-set AND banded
+    MERGED (r7 rotation: frees a 50-cap slot for the r6 flagship rows;
+    identical row schemas, so the merge is a method-tagged unionAll).
+    Method 'single': dedup.cosine_dup_pairs, one 8-plane bucket set.
+    Method 'banded': dedup.cosine_dup_pairs_banded, the
+    recall-recovery path — 3 bands x 6 planes, per-band cap, candidate
+    dedup across bands. BOTH fully oracle-checked: the plane weights
+    are engine-portable literals, so DuckDB recomputes the identical
+    buckets, applies the identical caps, and verifies with the same
     rounded exact cosine."""
     import sys
 
     sys.path.insert(0, REPO)
-    from antnre_spark.dedup import cosine_dup_pairs_banded
+    from antnre_spark.dedup import cosine_dup_pairs, cosine_dup_pairs_banded
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    return cosine_dup_pairs_banded(
+    dim = len(_query_vec(sf_dir))
+    # n_planes sized for the SF corpus (500-5000 vectors -> 8 planes
+    # keeps buckets populated); the oracle embeds the same 8-plane
+    # weights
+    single = cosine_dup_pairs(e, tau=0.35, n_planes=8, dim=dim).select(
+        F.lit("single").alias("method"), "*"
+    )
+    banded = cosine_dup_pairs_banded(
         e,
         tau=_BANDED_TAU,
         n_planes=_BANDED_PLANES,
         n_bands=_BANDED_BANDS,
         max_bucket=_BANDED_CAP,
-        dim=len(_query_vec(sf_dir)),
-    )
+        dim=dim,
+    ).select(F.lit("banded").alias("method"), "*")
+    return single.unionAll(banded)
 
 
 def _cosine_lsh_banded_sql(sf_dir: str | None = None) -> str:
@@ -1955,6 +2096,16 @@ SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
        round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) AS cosine
 FROM c a JOIN c b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
 WHERE round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) >= 0.35
+"""
+
+
+def _cosine_lsh_merged_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of the merged dd_cosine_lsh_banded demo: the
+    single-set and banded oracle bodies, method-tagged and unioned."""
+    return f"""
+SELECT 'single' AS method, * FROM ({_cosine_lsh_sql(sf_dir)})
+UNION ALL
+SELECT 'banded' AS method, * FROM ({_cosine_lsh_banded_sql(sf_dir)})
 """
 
 
@@ -2270,46 +2421,34 @@ WHERE ap.rank <= {k}
 
 
 def q_mm_media_stats(spark, sf_dir):
-    """documents-as-media: binary payload column + per-kind byte stats
-    (antnre_spark.multimodal.media_stats over a derived media table)."""
-    import sys
-
-    sys.path.insert(0, REPO)
-    from antnre_spark.multimodal import media_stats
-
-    media = _doc(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.col("source").alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
-    )
-    return media_stats(media)
-
-
-SQL_MM_STATS = """
-SELECT source AS kind, count(*) AS n_items,
-       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
-       max(octet_length(encode(text)))::BIGINT AS max_bytes
-FROM documents GROUP BY source
-"""
-
-
-def q_mm_features(spark, sf_dir):
-    """mapInPandas feature extraction over binary payloads. The decode
+    """documents-as-media: per-kind byte stats + mapInPandas feature
+    extraction MERGED (r7 rotation: frees a 50-cap slot for the r6
+    flagship rows). Section 'stats': binary payload column + per-kind
+    byte stats (multimodal.media_stats over a derived media table).
+    Section 'features': mapInPandas over binary payloads — the decode
     kernels are REAL pure-numpy parsers (PPM P6 images, RIFF/WAV PCM16
     audio — multimodal.decode_ppm/decode_wav, r4); these text payloads
     are not valid containers, so they exercise the deterministic
     byte-stat fallback path (decoded=false). The demo projects the
     SQL-expressible columns (byte count + sha256 fingerprint) so the
-    whole Arrow round-trip is oracle-checked; the real pixel/sample
+    whole Arrow round-trip stays oracle-checked; the real pixel/sample
     feature values are covered by tests/test_dataops.py
     TestRealDecodeKernels (not SQL-expressible, and the driver's
     canonicalizer cannot hash array columns)."""
     import sys
 
     sys.path.insert(0, REPO)
-    from antnre_spark.multimodal import extract_features
+    from antnre_spark.multimodal import extract_features, media_stats
 
-    media = (
+    media = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("source").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    stats = media_stats(media).select(
+        F.lit("stats").alias("section"), "*"
+    )
+    fmedia = (
         _doc(spark, sf_dir)
         .filter(F.col("doc_id") < 100)
         .select(
@@ -2322,15 +2461,25 @@ def q_mm_features(spark, sf_dir):
             F.lit(None).cast("long").alias("duration_ms"),
         )
     )
-    return extract_features(media).select(
-        "media_id", "kind", "n_bytes", "content_sha"
+    feats = extract_features(fmedia).select(
+        F.lit("features").alias("section"),
+        "media_id", "kind", "n_bytes", "content_sha",
     )
+    return stats.unionByName(feats, allowMissingColumns=True)
 
 
-SQL_MM_FEATURES = """
-SELECT doc_id::VARCHAR AS media_id, 'image' AS kind,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       substr(sha256(text), 1, 16) AS content_sha
+SQL_MM_STATS = """
+SELECT 'stats' AS section, source AS kind, count(*) AS n_items,
+       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+       max(octet_length(encode(text)))::BIGINT AS max_bytes,
+       CAST(NULL AS VARCHAR) AS media_id,
+       CAST(NULL AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_sha
+FROM documents GROUP BY source
+UNION ALL
+SELECT 'features', 'image', NULL, NULL, NULL,
+       doc_id::VARCHAR, octet_length(encode(text))::BIGINT,
+       substr(sha256(text), 1, 16)
 FROM documents WHERE doc_id < 100
 """
 
@@ -2668,8 +2817,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sys.path.insert(0, REPO)
     # NOTE the ordering: the round-2 driver artifact recorded exactly the
     # FIRST 50 dict entries (51st silently absent), so the flagship rows
-    # lead and the total stays <= 50 (same-§2-row micro demos were merged
-    # r3: i_semi+i_anti, k_json+k_map, k_array+k_nested).
+    # lead and the total stays <= 50. Same-§2-row micro demos were merged
+    # to keep every remaining row inside the driver window: r3
+    # i_semi+i_anti, k_json+k_map, k_array+k_nested; r6 h3+h4; r7 (the
+    # verdict's rotation task) g1→b2, d1→d2, h5→h_rollup, cu_quota→
+    # cu_sample, k_array→k_json_map, mm_features→mm_media_stats,
+    # dd_cosine_lsh→dd_cosine_lsh_banded — each merged demo keeps
+    # exercising the absorbed demo's Spark functions verbatim (see the
+    # absorbing demo's docstring). Exactly 50 entries as of r7.
     base = {
         "kg_triples": q_kg_triples,
         "kg_extract_mentions": q_kg_extract_mentions,
@@ -2683,7 +2838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_vocab_topk": q_d3_vocab_topk,
         "e4_run_grouping": q_e4_run_grouping,
         "f1_pair_generation": q_f1_pair_generation,
-        "g1_norm_dedup": q_g1_norm_dedup,
         "g3_salted_agg": q_g3_salted_agg,
         "g5_jaccard_verify": q_g5_jaccard_verify,
         "g6_cc_step": q_g6_cc_step,
@@ -2691,48 +2845,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h2_groupby_agg": q_h2_groupby_agg,
         "h34_distinct_stats": q_h34_distinct_stats,
         "kq_bgp": q_kq_bgp,
-        "h5_topk": q_h5_topk,
+        "kq_path": q_kq_path,
+        "kq_construct": q_kq_construct,
+        "kq_agg": q_kq_agg,
+        "kq_exists": q_kq_exists,
+        "kq_union": q_kq_union,
+        "kq_closure": q_kq_closure,
+        "gr_pagerank": q_gr_pagerank,
+        "gr_scc": q_gr_scc,
         "i_semi_anti_join": q_i_semi_anti_join,
         "i_broadcast_join": q_i_broadcast_join,
         "i_asof_join": q_i_asof_join,
         "h_rollup": q_h_rollup,
-        "gr_pagerank": q_gr_pagerank,
         "k_string_math_funcs": q_k_string_math_funcs,
         "k_json_map": q_k_json_map,
-        "k_array_funcs": q_k_array_funcs,
         "tr_pair_features": q_tr_pair_features,
-        "d1_sentence_count": q_d1_sentence_count,
         "t_langid": q_t_langid,
         "t_quality": q_t_quality,
         "t_fingerprint": q_t_fingerprint,
         "t_bpe_tokens": q_t_bpe_tokens,
         "cu_sample": q_cu_sample,
-        "cu_quota": q_cu_quota,
         "dd_clusters": q_dd_clusters,
         "dd_exact": q_dd_exact,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash_candidates": q_dd_minhash_candidates,
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "dd_cosine_exact": q_dd_cosine_exact,
-        "dd_cosine_lsh": q_dd_cosine_lsh,
         "dd_cosine_lsh_banded": q_dd_cosine_lsh_banded,
         # ss_topk_cosine (exact scan) was merged INTO ss_ivf_topk_batch as
-        # its in_exact verification leg (r3 verdict task 3) — the 50-slot
-        # driver cap means a new entry must absorb an old one
+        # its in_exact verification leg (r3 verdict task 3)
         "ss_ivf_topk_batch": q_ss_ivf_topk_batch,
         "ss_bucketed_topk": q_ss_bucketed_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
         "mm_media_stats": q_mm_media_stats,
-        "mm_features": q_mm_features,
-        # entries BEYOND the driver's 50-record cap go LAST: the driver
-        # records only the first 50 (flagship-first), but
-        # tools/check_contract.py and the judge can still run these
-        # against their oracles locally.
-        "kq_path": q_kq_path,
-        "kq_construct": q_kq_construct,
-        "kq_agg": q_kq_agg,
-        "kq_exists": q_kq_exists,
-        "gr_scc": q_gr_scc,
     }
     return base
 
@@ -2767,8 +2912,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
     degraded = False
     for name, builder in (
         ("kg_triples", _kg_triples_sql),
-        ("dd_cosine_lsh", _cosine_lsh_sql),
-        ("dd_cosine_lsh_banded", _cosine_lsh_banded_sql),
+        ("dd_cosine_lsh_banded", _cosine_lsh_merged_sql),
         ("ss_bucketed_topk", _ss_bucketed_sql),
         ("ss_ivf_topk", _ss_ivf_sql),
         ("ss_ivf_topk_batch", _ss_ivf_batch_sql),
@@ -2797,7 +2941,6 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "d3_vocab_topk": SQL_D3,
         "e4_run_grouping": SQL_E4,
         "f1_pair_generation": SQL_F1,
-        "g1_norm_dedup": SQL_G1,
         "g3_salted_agg": SQL_G3,
         "g5_jaccard_verify": SQL_G5,
         "g6_cc_step": SQL_G6,
@@ -2805,7 +2948,6 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "h2_groupby_agg": SQL_H2,
         "h34_distinct_stats": SQL_H34,
         "kq_bgp": SQL_KQ_BGP,
-        "h5_topk": SQL_H5,
         "i_semi_anti_join": SQL_I_SEMI_ANTI,
         "i_broadcast_join": SQL_I_BROADCAST,
         "i_asof_join": SQL_I_ASOF,
@@ -2813,14 +2955,11 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "gr_pagerank": SQL_GR_PAGERANK,
         "k_string_math_funcs": SQL_K_STRING_MATH,
         "k_json_map": SQL_K_JSON_MAP,
-        "k_array_funcs": SQL_K_ARRAY,
-        "d1_sentence_count": SQL_D1,
         "t_langid": _langid_sql(),
         "t_quality": _quality_sql(),
         "t_fingerprint": SQL_T_FINGERPRINT,
         "t_bpe_tokens": _bpe_sql(),
         "cu_sample": SQL_CU_SAMPLE,
-        "cu_quota": SQL_CU_QUOTA,
         "dd_clusters": _dd_clusters_sql(),
         "dd_exact": SQL_DD_EXACT,
         "dd_ngram_jaccard": SQL_DD_NGRAM,
@@ -2828,11 +2967,12 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "dd_simhash_pairs": _simhash_sql(3),
         "dd_cosine_exact": SQL_DD_COSINE,
         "mm_media_stats": SQL_MM_STATS,
-        "mm_features": SQL_MM_FEATURES,
         "kq_path": SQL_KQ_PATH,
         "kq_construct": SQL_KQ_CONSTRUCT,
         "kq_agg": SQL_KQ_AGG,
         "kq_exists": SQL_KQ_EXISTS,
+        "kq_union": SQL_KQ_UNION,
+        "kq_closure": SQL_KQ_CLOSURE,
         "gr_scc": SQL_GR_SCC,
     }
     # cache ONLY complete builds: pinning a degraded dict would make a

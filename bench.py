@@ -292,6 +292,27 @@ def main() -> None:
             F.round(F.sum("trigram_logp"), 2).alias("s")
         )
 
+    def platform_control_burn() -> float:
+        """Fixed-work CPU control (r6 verdict task 7): ~2s of numpy
+        matmul on a quiet box. The reading rises when the host window
+        degrades (this VM's effective cores swing 6-21 over minutes —
+        BENCH/BASELINE.md drift ledger), so emitting pre/mid/post
+        readings makes the artifact self-annotating: a slow query row
+        next to a slow control is a window, next to a quiet control is
+        a regression. BLAS threading is part of the measure on purpose
+        — it senses the hypervisor core grant, same as Spark does."""
+        import numpy as np
+
+        a = np.fromfunction(
+            lambda i, j: ((i * 37 + j * 11) % 101) / 101.0, (1024, 1024)
+        )
+        t0 = time.perf_counter()
+        x = a
+        for _ in range(24):
+            x = (x @ a) % 1.0
+        assert x.shape == a.shape
+        return round(time.perf_counter() - t0, 3)
+
     q = entrymod.queries()
     # Row ORDER (r6): the frozen like-for-like ten run FIRST and
     # contiguously, then the newer headline-only rows. This box's speed
@@ -327,9 +348,12 @@ def main() -> None:
         # NOT in the frozen like-for-like set)
         "kg_stream": kg_stream_read,
     }
-    # rows that run a full multi-stage job per invocation: timed ONCE,
-    # no warmup (the cold number IS the metric), kept out of the
-    # median-of-3 discipline
+    # rows that run a full multi-stage job per invocation: no warmup
+    # (the cold number IS the metric), capped at 2 samples instead of
+    # the median-of-3 discipline (r6 verdict task 3: one cold sample in
+    # a median artifact is not a trend line; two bound the spread while
+    # keeping the bench wall sane — the prepared drop dir is reused,
+    # each run gets fresh out/checkpoint dirs so both samples are cold)
     heavy_once = {"kg_stream"}
     # the control stage is opt-in by name (scaling campaigns), not part of
     # the driver's default headline set
@@ -371,6 +395,7 @@ def main() -> None:
     timings_min: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     out_rows: dict[str, int] = {}
+    control: dict[str, float] = {"pre": platform_control_burn()}
     for name, fn in headline.items():
         if warmup and name not in heavy_once:
             if name in (
@@ -384,7 +409,7 @@ def main() -> None:
             else:
                 fn(spark, sf_dir).count()
         runs: list[float] = []
-        for _ in range(1 if name in heavy_once else repeats):
+        for _ in range(min(2, repeats) if name in heavy_once else repeats):
             t0 = time.perf_counter()
             out_rows[name] = fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
@@ -392,6 +417,9 @@ def main() -> None:
         timings[name] = round(srt[len(srt) // 2], 3)  # upper median
         timings_min[name] = round(srt[0], 3)
         samples[name] = [round(r, 3) for r in runs]
+        if name == "t_quality":  # end of the frozen like-for-like ten
+            control["mid_post_frozen"] = platform_control_burn()
+    control["post"] = platform_control_burn()
 
     total = round(sum(timings.values()), 3)
     lfl = round(
@@ -412,6 +440,10 @@ def main() -> None:
         "turns_per_sec": round(n_turns / timings["kg_pipeline"], 1)
         if "kg_pipeline" in timings
         else None,
+        "stream_turns_per_sec": round(n_turns / timings["kg_stream"], 1)
+        if "kg_stream" in timings
+        else None,
+        "platform_control": control,
         "rows": out_rows,
     }
     print(json.dumps(result))

@@ -274,10 +274,33 @@ def process_kg_batch(
     model_key: str,
     tau: float | None = None,
     link_every: int = 1,
+    repartition_to: int | None = None,
 ) -> None:
     """One micro-batch of the FULL KG stream: extraction + incremental
     linking + triple materialization (r4 verdict task 5 — before this,
     a stream user still had to run the batch link_job afterwards).
+
+    ``repartition_to``: partition count for the extraction stage
+    (default 10x defaultParallelism — the same sizing the batch
+    pipeline's partition_for_extraction uses; pass 0 to keep the
+    source partitioning). THE r7 stream/batch-gap finding: a file-
+    source micro-batch arrives with one partition per ~input file (2,
+    measured, for the bench's 50k-turn batches), so without this
+    reshuffle the compute-bound model UDF ran on 2 of 32 cores and the
+    stream read 2.1x the batch wall on identical input. The extra
+    exchange is the same one the batch path pays, and it hash-
+    partitions by conv_id so downstream grouping reuses it.
+
+    The companion half of the fix: the EXTRACTED frame is repartitioned
+    back DOWN (max(2, parallelism/8)) before the persist that the four
+    sink writes share. Persisting at the extraction width made every
+    write schedule one task — and emit one parquet file — per
+    extraction partition (measured: 0.3s -> 2.5s per write at 320), so
+    extraction parallelism and write parallelism are decoupled: the UDF
+    runs wide, the small extracted rows cross one cheap round-robin
+    exchange, and the writes scan a handful of persisted partitions.
+    Measured per 50k-turn batch (32 cores): extract 14s/2-way -> 3.5s/
+    320-way; phase-1 total 11.5-15.5s -> 4.2-4.7s.
 
     Two-phase design:
 
@@ -308,10 +331,16 @@ def process_kg_batch(
 
     if batch_df.isEmpty():
         return
+    parallelism = batch_df.sparkSession.sparkContext.defaultParallelism
+    turns = assemble.filter_extractable(batch_df)
+    n_parts = repartition_to
+    if n_parts is None:
+        n_parts = 10 * parallelism
+    if n_parts:
+        turns = assemble.partition_for_extraction(turns, n_parts)
     extracted = extract.extract_turns(
-        assemble.filter_extractable(batch_df),
-        weights_bc, vocab_bc, model_key=model_key,
-    ).persist()
+        turns, weights_bc, vocab_bc, model_key=model_key,
+    ).repartition(max(2, parallelism // 8)).persist()
     try:
         bid = F.lit(batch_id).alias("batch_id")
         mentions = extract.explode_mentions(extracted)
@@ -397,10 +426,18 @@ def process_extraction_batch(
     # RDD per micro-batch for the life of the stream (DataFrame.unpersist
     # cannot release localCheckpoint blocks). extract_turns = fused
     # segmentation+extraction, row-identical to the staged path (r4).
+    # partition_for_extraction: file-source micro-batches arrive with one
+    # partition per ~file and would starve the model UDF; the extracted
+    # frame then drops back to a handful of partitions so the two sink
+    # writes don't schedule one task+file per extraction partition (the
+    # r7 stream-gap finding — see process_kg_batch).
+    parallelism = batch_df.sparkSession.sparkContext.defaultParallelism
     extracted = extract.extract_turns(
-        assemble.filter_extractable(batch_df),
+        assemble.partition_for_extraction(
+            assemble.filter_extractable(batch_df), 10 * parallelism
+        ),
         weights_bc, vocab_bc, model_key=model_key,
-    ).persist()
+    ).repartition(max(2, parallelism // 8)).persist()
     try:
         bid = F.lit(batch_id).alias("batch_id")
         ment_t.overwrite_partitions(

@@ -46,11 +46,14 @@ negation-by-failure over NULL bindings), ``bind`` (BIND derived
 columns), :func:`bgp_aggregate` (GROUP BY/HAVING with partial+final
 hash aggregation), :func:`construct` (CONSTRUCT — derive a new
 triples-schema graph), ``union_patterns`` (UNION of whole binding
-groups, disjoint variables NULL-padded), property paths — bounded
-(:class:`Path`, inverse ``^p``, alternation lists) AND unbounded
-closure ``p+``/``p*`` (``Path(p, 1, None)`` — a checkpointed
-fixpoint, seeded from a bound endpoint when the pattern has one) —
-and the ASK verb on the ``jobs/kg_query.py`` CLI. Whole-graph
+groups, disjoint variables NULL-padded), ``minus_patterns`` (SPARQL
+MINUS — anti-join on shared variables, disjoint groups remove
+nothing), ``values`` (inline VALUES binding rows), property paths —
+bounded (:class:`Path`, inverse ``^p``, alternation lists,
+:class:`Seq` sequences, :class:`Neg` negated property sets) AND
+unbounded closure ``p+``/``p*`` (``Path(p, 1, None)`` — a
+checkpointed fixpoint, seeded from a bound endpoint when the pattern
+has one) — and the ASK verb on the ``jobs/kg_query.py`` CLI. Whole-graph
 analytics (PageRank, CC, SCC, …) live in :mod:`antnre_spark.graph`.
 """
 
@@ -82,16 +85,79 @@ def _is_var(term) -> bool:
 
 def _invert_pred(pred):
     """Invert a predicate term: ``p`` ↔ ``^p``, alternation lists
-    element-wise — used to seed a closure from a bound OBJECT."""
+    element-wise, Seq = reversed inverted steps — used to seed a
+    closure from a bound OBJECT. Neg is forward-only by spec: raises,
+    and the caller falls back to the full (unseeded) closure."""
     if isinstance(pred, str):
         return pred[1:] if pred.startswith("^") else "^" + pred
+    if isinstance(pred, Seq):
+        return Seq(*[_invert_pred(p) for p in reversed(pred.steps)])
+    if isinstance(pred, Neg):
+        raise ValueError(
+            "negated property sets are forward-only; cannot invert"
+        )
     return [_invert_pred(p) for p in pred]
+
+
+class Seq:
+    """Sequence path (SPARQL ``p1/p2/...``): endpoint pairs connected
+    by one edge of each step predicate IN ORDER — compiled as a chain
+    of equi-joins on the intermediate vertices. Steps accept every
+    predicate form (names, ``^inverse``, alternation lists, nested
+    Seq/Neg), so ``Seq("in_nation", "in_region")`` matches
+    customer→region without naming the nation variable."""
+
+    __slots__ = ("steps",)
+
+    def __init__(self, *steps):
+        if len(steps) < 2:
+            raise ValueError("Seq needs at least 2 steps")
+        self.steps = steps
+
+    def __repr__(self) -> str:
+        return f"Seq{self.steps!r}"
+
+
+class Neg:
+    """Negated property set (SPARQL ``!(p1|p2|...)``): endpoint pairs
+    connected by an edge whose predicate is NOT one of the named ones
+    (forward edges only — the spec's forward-only form). Compiles to a
+    single NOT-IN filtered scan; still one sargable scan of the triples
+    relation."""
+
+    __slots__ = ("preds",)
+
+    def __init__(self, *preds):
+        if not preds or any(not isinstance(p, str) for p in preds):
+            raise ValueError("Neg takes 1+ plain predicate names")
+        self.preds = preds
+
+    def __repr__(self) -> str:
+        return f"Neg{self.preds!r}"
 
 
 def _pred_edge(triples: DataFrame, pred) -> DataFrame:
     """(a, b) pairs for one predicate term: a plain predicate, an
-    alternation (list/tuple/set of predicates — SPARQL ``p1|p2``), or
-    an inverse ``^p`` (SPARQL inverse path: matches obj->subj)."""
+    alternation (list/tuple/set of predicates — SPARQL ``p1|p2``), an
+    inverse ``^p`` (SPARQL inverse path: matches obj->subj), a
+    :class:`Seq` sequence path, or a :class:`Neg` negated property
+    set."""
+    if isinstance(pred, Seq):
+        out = _pred_edge(triples, pred.steps[0])
+        for step in pred.steps[1:]:
+            nxt = _pred_edge(triples, step).select(
+                F.col("a").alias("m"), "b"
+            )
+            out = (
+                out.select("a", F.col("b").alias("m"))
+                .join(nxt, "m")
+                .select("a", "b")
+            )
+        return out
+    if isinstance(pred, Neg):
+        return triples.filter(~F.col("pred").isin(list(pred.preds))).select(
+            F.col("subj").alias("a"), F.col("obj").alias("b")
+        )
     if isinstance(pred, str) and pred.startswith("^"):
         return _pred_edge(triples, pred[1:]).select(
             F.col("b").alias("a"), F.col("a").alias("b")
@@ -327,11 +393,19 @@ def _endpoint_scan(
                 triples, p_term.pred, p_term.min_hops, sources=seed
             )
         elif not _is_var(o_term):
-            seed = spark.createDataFrame([(o_term,)], "a string")
-            pairs = closure_pairs(
-                triples, _invert_pred(p_term.pred), p_term.min_hops,
-                sources=seed,
-            ).select(F.col("b").alias("a"), F.col("a").alias("b"))
+            try:
+                inv = _invert_pred(p_term.pred)
+            except ValueError:  # Neg: forward-only — full closure, the
+                inv = None      # bound-term filter below restricts it
+            if inv is not None:
+                seed = spark.createDataFrame([(o_term,)], "a string")
+                pairs = closure_pairs(
+                    triples, inv, p_term.min_hops, sources=seed,
+                ).select(F.col("b").alias("a"), F.col("a").alias("b"))
+            else:
+                pairs = closure_pairs(
+                    triples, p_term.pred, p_term.min_hops
+                )
         else:
             pairs = closure_pairs(triples, p_term.pred, p_term.min_hops)
     elif isinstance(p_term, Path):
@@ -429,6 +503,25 @@ def _est_cost(p: Pattern, stats: dict[str, int]) -> float:
     pred = p[1]
     if isinstance(pred, Path):
         pred = pred.pred
+    if isinstance(pred, Seq):
+        # chain cardinality is join-dependent; the deterministic proxy
+        # is the largest step (bounded endpoints still divide below)
+        est = max(
+            _est_cost(("?a", s, "?b"), stats) * _BOUND_TERM_SELECTIVITY**0
+            for s in pred.steps
+        )
+        for term in (p[0], p[2]):
+            if not _is_var(term):
+                est /= _BOUND_TERM_SELECTIVITY
+        return est
+    if isinstance(pred, Neg):
+        est = float(
+            sum(stats.values()) - sum(stats.get(q, 0) for q in pred.preds)
+        )
+        for term in (p[0], p[2]):
+            if not _is_var(term):
+                est /= _BOUND_TERM_SELECTIVITY
+        return est
     if isinstance(pred, str) and not pred.startswith("^"):
         est = float(stats.get(pred, 0)) if not _is_var(pred) else float(
             sum(stats.values())
@@ -546,6 +639,8 @@ def bgp_query(
     optional_patterns: list[list[Pattern]] | None = None,
     exists_patterns: list[list[Pattern]] | None = None,
     not_exists_patterns: list[list[Pattern]] | None = None,
+    minus_patterns: list[list[Pattern]] | None = None,
+    values: list[dict[str, str]] | None = None,
     filters: list[str] | None = None,
     post_filters: list[str] | None = None,
     bind: dict[str, str] | None = None,
@@ -600,6 +695,23 @@ def bgp_query(
     unbound); Catalyst still pushes each conjunct into the branches
     where legal.
 
+    ``minus_patterns``: groups applied as SPARQL MINUS — a binding is
+    removed when the group yields a compatible binding sharing ≥1
+    variable. Compiled as LEFT ANTI on the shared variables, like
+    ``not_exists_patterns``, with the spec's one divergence honored:
+    a group sharing NO variable with the bindings removes NOTHING
+    (MINUS over disjoint domains is a no-op, where NOT EXISTS would
+    empty the result — the reason both verbs exist).
+
+    ``values``: inline binding rows (SPARQL VALUES) — a list of
+    ``{var: value}`` dicts (missing keys = unbound = NULL). Compiled
+    to a literal DataFrame inner-joined on the shared variables right
+    after the required patterns (it is usually the most selective
+    relation in the query; Catalyst broadcasts it). With no required
+    patterns it SEEDS the bindings. A NULL (unbound) value in a VALUES
+    row joins nothing under join-key semantics, so keep VALUES rows
+    fully bound per variable column — partial rows belong in a UNION.
+
     ``stats``: optional per-predicate row counts (see
     :func:`predicate_stats`) switching the join order from the
     syntactic most-bound heuristic to estimated-cardinality order.
@@ -608,10 +720,32 @@ def bgp_query(
         acc, acc_vars = _join_group(
             triples, patterns, allow_cartesian, stats
         )
-    elif union_patterns:
+    elif union_patterns or values:
         acc, acc_vars = None, set()
     else:
         raise ValueError("empty pattern list")
+    if values:
+        vvars = sorted({k for row in values for k in row})
+        if not vvars:
+            raise ValueError("empty VALUES rows")
+        vdf = triples.sparkSession.createDataFrame(
+            [tuple(row.get(v) for v in vvars) for row in values],
+            ", ".join(f"{v} string" for v in vvars),
+        )
+        if acc is None:
+            acc, acc_vars = vdf, set(vvars)
+        else:
+            shared = sorted(acc_vars & set(vvars))
+            if shared:
+                acc = acc.join(vdf, on=shared, how="inner")
+            elif allow_cartesian:
+                acc = acc.crossJoin(vdf)
+            else:
+                raise ValueError(
+                    "VALUES shares no variable with the required "
+                    "patterns; pass allow_cartesian=True for the product"
+                )
+            acc_vars |= set(vvars)
     if union_patterns:
         branches: list[tuple[DataFrame, set]] = []
         for group in union_patterns:
@@ -665,6 +799,13 @@ def bgp_query(
             acc = acc.join(
                 sub.select(*shared).distinct(), on=shared, how=how
             )
+    for group in minus_patterns or []:
+        sub, svars = _join_group(triples, group, allow_cartesian, stats)
+        shared = sorted(acc_vars & svars)
+        if not shared:
+            continue  # SPARQL MINUS over disjoint domains removes nothing
+        acc = acc.join(sub.select(*shared).distinct(), on=shared,
+                       how="anti")
     for group in optional_patterns or []:
         opt, ovars = _join_group(
             triples, group, allow_cartesian, stats
@@ -702,6 +843,8 @@ def bgp_aggregate(
     optional_patterns: list[list[Pattern]] | None = None,
     exists_patterns: list[list[Pattern]] | None = None,
     not_exists_patterns: list[list[Pattern]] | None = None,
+    minus_patterns: list[list[Pattern]] | None = None,
+    values: list[dict[str, str]] | None = None,
     filters: list[str] | None = None,
     post_filters: list[str] | None = None,
     having: list[str] | None = None,
@@ -732,6 +875,8 @@ def bgp_aggregate(
         optional_patterns=optional_patterns,
         exists_patterns=exists_patterns,
         not_exists_patterns=not_exists_patterns,
+        minus_patterns=minus_patterns,
+        values=values,
         filters=filters,
         post_filters=post_filters,
         allow_cartesian=allow_cartesian,
@@ -762,6 +907,8 @@ def construct(
     optional_patterns: list[list[Pattern]] | None = None,
     exists_patterns: list[list[Pattern]] | None = None,
     not_exists_patterns: list[list[Pattern]] | None = None,
+    minus_patterns: list[list[Pattern]] | None = None,
+    values: list[dict[str, str]] | None = None,
     filters: list[str] | None = None,
     post_filters: list[str] | None = None,
     allow_cartesian: bool = False,
@@ -789,6 +936,8 @@ def construct(
         optional_patterns=optional_patterns,
         exists_patterns=exists_patterns,
         not_exists_patterns=not_exists_patterns,
+        minus_patterns=minus_patterns,
+        values=values,
         filters=filters,
         post_filters=post_filters,
         select=sorted(tvars) or None,

@@ -230,8 +230,19 @@ def kg_stream_tables(out_root: str) -> dict[str, IceLite]:
     }
 
 
+def _link_marker_path(tables: dict[str, IceLite]) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(tables["triples"].path), "kg_stream_linked.json"
+    )
+
+
 def materialize_kg_stream(
-    spark: SparkSession, tables: dict[str, IceLite], tau: float | None = None
+    spark: SparkSession,
+    tables: dict[str, IceLite],
+    tau: float | None = None,
+    skip_if_current: bool = True,
 ) -> None:
     """Phase 2 of the incremental-KG stream, standalone: merge the
     persisted surface counts, relink, merge the triple partials against
@@ -239,12 +250,38 @@ def materialize_kg_stream(
     from the tables alone (idempotent — safe to run any number of
     times), which is what makes the ``link_every`` amortization knob
     sound: skipped batches lose nothing durable, and one call after the
-    stream drains brings the serving tables current."""
+    stream drains brings the serving tables current.
+
+    ``skip_if_current`` (r7): a marker file beside the triples table
+    records the (surface_counts, triple_partials) snapshot ids + tau
+    the last relink consumed; when they match the current snapshots
+    the call is a NO-OP. This makes the drain-then-materialize idiom
+    free when the final micro-batch already relinked (the
+    ``n_batches % link_every == 0`` case paid a full redundant relink
+    before). Crash-safe in both directions: a lost marker just re-runs
+    the idempotent relink; a replayed/later batch bumps the source
+    snapshot ids so a stale marker never suppresses real work."""
+    import json as _json
+    import os
+
     from antnre_spark import link, materialize
 
     per_raw_t = tables["surface_counts"].load(spark)
     if per_raw_t is None:
         return
+    linked_key = {
+        "surface_counts": tables["surface_counts"].current_snapshot(),
+        "triple_partials": tables["triple_partials"].current_snapshot(),
+        "tau": tau,
+    }
+    marker = _link_marker_path(tables)
+    if skip_if_current and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if _json.load(fh) == linked_key:
+                    return
+        except (OSError, ValueError):
+            pass  # unreadable marker = just relink
     surfaces = link.merge_surface_counts(per_raw_t.drop("batch_id"))
     surface_map, entities = link.link_surfaces(
         surfaces, **({"tau": tau} if tau is not None else {})
@@ -261,6 +298,12 @@ def materialize_kg_stream(
         tables["entities"].overwrite_partitions(
             entities.withColumn("part", F.lit(0)), ["part"]
         )
+        # marker LAST (after both overwrites): a crash before this line
+        # leaves no marker and the next call simply relinks
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(linked_key, fh)
+        os.replace(tmp, marker)
     finally:
         surface_map.unpersist()
 

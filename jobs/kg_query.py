@@ -40,6 +40,15 @@ bind NULL-padded; ``"patterns"`` may be empty/absent with ``"union"``.
 table first and orders the join chain by estimated cardinality instead
 of the syntactic most-bound heuristic.
 
+More SPARQL verbs (r7): ``"minus": [[...]]`` (SPARQL MINUS — removes
+bindings with a compatible match on shared variables; a group sharing
+no variable removes nothing, unlike not_exists); ``"values": [{"var":
+"value"}, ...]`` (inline VALUES binding rows, joined on shared
+variables or seeding the query); ``"offset": N`` (with order_by+limit:
+paged top-k). Predicates also accept ``{"seq": [p1, p2, ...]}``
+(sequence path ``p1/p2``) and ``{"neg": [p1, ...]}`` (negated property
+set ``!(p1|...)``), nestable inside ``{"path": ...}``.
+
 Aggregation (SPARQL GROUP BY; replaces select/distinct/construct):
 
   {"patterns": [["?p", "Work_For", "?org"]],
@@ -71,7 +80,9 @@ from antnre_spark.icelite import IceLite  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from antnre_spark.kgquery import (  # noqa: E402
+    Neg as KNeg,
     Path as KPath,
+    Seq as KSeq,
     bgp_aggregate,
     bgp_query,
     construct,
@@ -81,12 +92,24 @@ from antnre_spark.session import get_spark  # noqa: E402
 
 
 def _decode_pred(term):
+    if isinstance(term, dict) and "seq" in term:
+        if set(term) != {"seq"} or len(term["seq"]) < 2:
+            raise SystemExit(
+                f"sequence path must be {{'seq': [p1, p2, ...]}}: {term!r}"
+            )
+        return KSeq(*[_decode_pred(p) for p in term["seq"]])
+    if isinstance(term, dict) and "neg" in term:
+        if set(term) != {"neg"} or not term["neg"]:
+            raise SystemExit(
+                f"negated property set must be {{'neg': [p1, ...]}}: {term!r}"
+            )
+        return KNeg(*term["neg"])
     if isinstance(term, dict):
         unknown = set(term) - {"path", "min", "max"}
         if unknown or "path" not in term:
             raise SystemExit(
-                f"path predicate must be {{'path': p, 'min': m, 'max': n}}: "
-                f"{term!r}"
+                f"path predicate must be {{'path': p, 'min': m, 'max': n}} "
+                f"(or {{'seq': [...]}} / {{'neg': [...]}}): {term!r}"
             )
         # "max": null or "max": "*" = unbounded closure (SPARQL p+/p*
         # per "min" 1/0) — compiled as a checkpointed fixpoint, seeded
@@ -138,9 +161,9 @@ def main() -> None:
         spec = json.load(fh)
     unknown = set(spec) - {
         "patterns", "union", "optional", "exists", "not_exists",
-        "filters", "post_filters", "bind", "select", "distinct",
-        "construct", "group_by", "aggs", "having", "order_by", "limit",
-        "ask", "stats",
+        "minus", "values", "filters", "post_filters", "bind", "select",
+        "distinct", "construct", "group_by", "aggs", "having",
+        "order_by", "limit", "offset", "ask", "stats",
     }
     if unknown:
         raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
@@ -199,6 +222,17 @@ def main() -> None:
         _decode_patterns(g, "not_exists")
         for g in spec.get("not_exists", [])
     ] or None
+    minus = [
+        _decode_patterns(g, "minus") for g in spec.get("minus", [])
+    ] or None
+    values = spec.get("values") or None
+    if values is not None and not (
+        isinstance(values, list)
+        and all(isinstance(r, dict) for r in values)
+    ):
+        raise SystemExit(
+            "'values' must be a list of {var: value} binding rows"
+        )
     if "construct" in spec:
         template = [
             (p[0], p[1], p[2])
@@ -215,6 +249,8 @@ def main() -> None:
             optional_patterns=optional,
             exists_patterns=exists,
             not_exists_patterns=not_exists,
+            minus_patterns=minus,
+            values=values,
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
             stats=stats,
@@ -229,6 +265,8 @@ def main() -> None:
             optional_patterns=optional,
             exists_patterns=exists,
             not_exists_patterns=not_exists,
+            minus_patterns=minus,
+            values=values,
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
             having=spec.get("having") or None,
@@ -242,6 +280,8 @@ def main() -> None:
             optional_patterns=optional,
             exists_patterns=exists,
             not_exists_patterns=not_exists,
+            minus_patterns=minus,
+            values=values,
             filters=spec.get("filters") or None,
             post_filters=spec.get("post_filters") or None,
             bind=spec.get("bind") or None,
@@ -263,6 +303,10 @@ def main() -> None:
         result = result.orderBy(
             *[F.expr(e) for e in spec["order_by"]]
         )
+    if spec.get("offset") is not None:
+        # DataFrame.offset (Spark 3.4+): skip N rows after the sort —
+        # with order_by+limit this is the paged top-k idiom
+        result = result.offset(int(spec["offset"]))
     if spec.get("limit") is not None:
         result = result.limit(int(spec["limit"]))
     if args.explain:

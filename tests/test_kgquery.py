@@ -838,3 +838,159 @@ class TestStatsOrder:
         pats = [("?c", "in_nation", "?n"), ("?n", "in_region", "?r")]
         assert got(bgp_query(triples_df, pats, stats=st)) == \
             brute(TRIPLES, pats)
+
+
+class TestSeqNegPaths:
+    """Sequence paths (p1/p2) and negated property sets !(p1|...)."""
+
+    def test_seq_matches_two_plain_patterns(self, triples_df):
+        from antnre_spark.kgquery import Seq
+
+        out = bgp_query(
+            triples_df, [("?c", Seq("in_nation", "in_region"), "?r")]
+        )
+        twin = brute(
+            TRIPLES,
+            [("?c", "in_nation", "?m"), ("?m", "in_region", "?r")],
+            select=["c", "r"],
+        )
+        assert got(out) == sorted(set(twin)) or got(out) == twin
+
+    def test_seq_with_inverse_step_and_alternation(self, triples_df):
+        from antnre_spark.kgquery import Seq
+
+        # colleagues: same nation via in_nation then its inverse
+        out = bgp_query(
+            triples_df, [("?a", Seq("in_nation", "^in_nation"), "?b")]
+        )
+        expect = sorted(
+            (a, b)
+            for (a, pa, na) in TRIPLES
+            if pa == "in_nation"
+            for (b, pb, nb) in TRIPLES
+            if pb == "in_nation" and nb == na
+        )
+        assert got(out) == expect
+
+    def test_seq_inside_unbounded_closure_bound_object(self, triples_df):
+        from antnre_spark.kgquery import Path, Seq
+
+        # closure over the 2-step hierarchy seeded from the WORLD node:
+        # Seq inversion (reversed inverted steps) drives the seeded BFS
+        out = bgp_query(
+            triples_df,
+            [("?x", Path(Seq("in_region", "part_of"), 1, None), "w")],
+        )
+        seq_edges = [
+            (a, "s2", w)
+            for (a, p1, m) in TRIPLES
+            if p1 == "in_region"
+            for (m2, p2, w) in TRIPLES
+            if p2 == "part_of" and m2 == m
+        ]
+        expect = sorted(
+            (a,) for (a, b) in brute_closure(seq_edges, "s2", 1) if b == "w"
+        )
+        assert got(out) == expect
+
+    def test_neg_property_set(self, triples_df):
+        from antnre_spark.kgquery import Neg
+
+        out = bgp_query(
+            triples_df,
+            [("?a", Neg("knows", "likes", "in_nation"), "?b")],
+        )
+        expect = sorted(
+            (a, b)
+            for (a, p, b) in TRIPLES
+            if p not in ("knows", "likes", "in_nation")
+        )
+        assert got(out) == expect
+
+    def test_validation(self, triples_df):
+        from antnre_spark.kgquery import Neg, Seq
+
+        with pytest.raises(ValueError, match="Seq"):
+            Seq("only_one")
+        with pytest.raises(ValueError, match="Neg"):
+            Neg()
+
+
+class TestValuesMinus:
+    """SPARQL VALUES (inline binding rows) and MINUS."""
+
+    def test_values_restricts_required(self, triples_df):
+        out = bgp_query(
+            triples_df,
+            [("?m", "in_nation", "?n")],
+            values=[{"m": "c1"}, {"m": "c3"}, {"m": "nobody"}],
+        )
+        expect = sorted(
+            (m, n)
+            for (m, p, n) in TRIPLES
+            if p == "in_nation" and m in ("c1", "c3")
+        )
+        assert got(out) == expect
+
+    def test_values_seeds_without_patterns(self, triples_df):
+        out = bgp_query(
+            triples_df,
+            [],
+            values=[{"m": "c1", "tag": "x"}, {"m": "c2", "tag": "y"}],
+            optional_patterns=[[("?m", "knows", "?f")]],
+            select=["m", "tag", "f"],
+        )
+        rows = sorted(tuple(r) for r in out.collect())
+        expect = sorted(
+            [("c1", "x", f) for (s, p, f) in TRIPLES
+             if p == "knows" and s == "c1"]
+            + [("c2", "y", f) for (s, p, f) in TRIPLES
+               if p == "knows" and s == "c2"]
+        )
+        assert rows == expect
+
+    def test_values_multi_var_rows_bind_jointly(self, triples_df):
+        # two-column VALUES: only the exact (m, n) combinations pass
+        out = bgp_query(
+            triples_df,
+            [("?m", "in_nation", "?n")],
+            values=[{"m": "c1", "n": "n1"}, {"m": "c3", "n": "n1"}],
+        )
+        assert got(out) == [("c1", "n1")]  # (c3, n1) is not a fact
+
+    def test_minus_removes_on_shared_vars(self, triples_df):
+        out = bgp_query(
+            triples_df,
+            [("?m", "in_nation", "?n")],
+            minus_patterns=[[("?m", "knows", "?x")]],
+        )
+        knowers = {s for (s, p, o) in TRIPLES if p == "knows"}
+        expect = sorted(
+            (m, n)
+            for (m, p, n) in TRIPLES
+            if p == "in_nation" and m not in knowers
+        )
+        assert got(out) == expect
+
+    def test_minus_disjoint_domain_is_noop_unlike_not_exists(
+        self, triples_df
+    ):
+        # the spec's reason both verbs exist: MINUS over a group sharing
+        # NO variable removes nothing; NOT EXISTS would empty the result
+        base = bgp_query(triples_df, [("?m", "in_nation", "?n")])
+        minus = bgp_query(
+            triples_df,
+            [("?m", "in_nation", "?n")],
+            minus_patterns=[[("?x", "part_of", "?y")]],
+        )
+        assert got(minus) == got(base)
+
+    def test_values_validation(self, triples_df):
+        with pytest.raises(ValueError, match="VALUES"):
+            bgp_query(
+                triples_df,
+                [("?m", "in_nation", "?n")],
+                values=[{"z": "v"}],
+            )
+        with pytest.raises(ValueError, match="empty VALUES"):
+            bgp_query(triples_df, [], values=[{}])

@@ -589,3 +589,59 @@ class TestKgStreamEmptyBatches:
         streaming.process_kg_batch(batch2, 1, tables, w_bc, v_bc, key)
         ents = tables["entities"].load(spark)
         assert ents is not None and ents.count() >= 2
+
+
+class TestLinkMarker:
+    def test_materialize_skips_when_current(
+        self, spark, tmp_path, fixture_paths
+    ):
+        """r7: the drain-then-materialize idiom must not pay a redundant
+        relink when the final micro-batch already linked — the marker
+        beside the triples table records the consumed source snapshots
+        and a matching call is a no-op; any new batch (or an explicit
+        skip_if_current=False) relinks."""
+        import datetime
+
+        from antnre_spark import extract
+
+        w_bc, v_bc, key = extract.broadcast_model(
+            spark, fixture_paths["weights"], fixture_paths["vocab"]
+        )
+        tables = streaming.kg_stream_tables(str(tmp_path / "kg"))
+        ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+        schema = (
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        batch = spark.createDataFrame(
+            [("c1", 0, "user", "alice liddell works for acme corp .",
+              None, ts)], schema,
+        )
+        # link_every=1: phase 2 runs inside the batch and writes the marker
+        streaming.process_kg_batch(batch, 0, tables, w_bc, v_bc, key,
+                                   link_every=1)
+        snap0 = tables["triples"].current_snapshot()
+        assert snap0 is not None
+
+        # current marker -> no-op (no new snapshot)
+        streaming.materialize_kg_stream(spark, tables)
+        assert tables["triples"].current_snapshot() == snap0
+
+        # forced -> relinks (idempotent content, new snapshot)
+        streaming.materialize_kg_stream(spark, tables,
+                                        skip_if_current=False)
+        snap1 = tables["triples"].current_snapshot()
+        assert snap1 == snap0 + 1
+
+        # a new phase-1-only batch stales the marker -> next call RUNS
+        batch2 = spark.createDataFrame(
+            [("c2", 0, "user", "bob marley works for acme corp .",
+              None, ts)], schema,
+        )
+        streaming.process_kg_batch(batch2, 1, tables, w_bc, v_bc, key,
+                                   link_every=10**6)
+        streaming.materialize_kg_stream(spark, tables)
+        assert tables["triples"].current_snapshot() == snap1 + 1
+        # and now current again
+        streaming.materialize_kg_stream(spark, tables)
+        assert tables["triples"].current_snapshot() == snap1 + 1

@@ -45,7 +45,8 @@ pushed down when legal) and ``post_filters`` (after OPTIONAL —
 negation-by-failure over NULL bindings), ``bind`` (BIND derived
 columns), :func:`bgp_aggregate` (GROUP BY/HAVING with partial+final
 hash aggregation), :func:`construct` (CONSTRUCT — derive a new
-triples-schema graph), ``union_patterns`` (UNION of whole binding
+triples-schema graph), :func:`describe` (DESCRIBE — depth-1 symmetric
+resource neighborhood in the triples schema), ``union_patterns`` (UNION of whole binding
 groups, disjoint variables NULL-padded), ``minus_patterns`` (SPARQL
 MINUS — anti-join on shared variables, disjoint groups remove
 nothing), ``values`` (inline VALUES binding rows), property paths —
@@ -968,3 +969,20 @@ def construct(
         & F.col("pred").isNotNull()
         & F.col("obj").isNotNull()
     ).distinct()
+
+
+def describe(triples: DataFrame, resources) -> DataFrame:
+    """SPARQL DESCRIBE verb, restricted to the triples relation: every
+    triple in which a named resource appears as subject or object —
+    the symmetric concise-bounded description, depth 1 (deeper
+    neighborhoods are :func:`bgp_query` with paths or
+    ``graph.n_hop``'s job). ``resources``: one id or a list. One scan,
+    one OR filter; output keeps the full triples schema so the result
+    composes with ``--write``/``--table`` like CONSTRUCT graphs do."""
+    if isinstance(resources, str):
+        resources = [resources]
+    if not resources:
+        raise ValueError("DESCRIBE needs at least one resource")
+    return triples.filter(
+        F.col("subj").isin(resources) | F.col("obj").isin(resources)
+    )

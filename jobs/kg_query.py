@@ -40,6 +40,11 @@ bind NULL-padded; ``"patterns"`` may be empty/absent with ``"union"``.
 table first and orders the join chain by estimated cardinality instead
 of the syntactic most-bound heuristic.
 
+``"describe": "<resource>"`` (or a list) — SPARQL DESCRIBE: the
+depth-1 triple neighborhood of the resource(s), in the triples schema
+(composable with --write / --table); standalone except
+order_by/limit/offset.
+
 More SPARQL verbs (r7): ``"minus": [[...]]`` (SPARQL MINUS — removes
 bindings with a compatible match on shared variables; a group sharing
 no variable removes nothing, unlike not_exists); ``"values": [{"var":
@@ -86,6 +91,7 @@ from antnre_spark.kgquery import (  # noqa: E402
     bgp_aggregate,
     bgp_query,
     construct,
+    describe,
     predicate_stats,
 )
 from antnre_spark.session import get_spark  # noqa: E402
@@ -162,11 +168,19 @@ def main() -> None:
     unknown = set(spec) - {
         "patterns", "union", "optional", "exists", "not_exists",
         "minus", "values", "filters", "post_filters", "bind", "select",
-        "distinct", "construct", "group_by", "aggs", "having",
-        "order_by", "limit", "offset", "ask", "stats",
+        "distinct", "construct", "describe", "group_by", "aggs",
+        "having", "order_by", "limit", "offset", "ask", "stats",
     }
     if unknown:
         raise SystemExit(f"unknown query spec keys: {sorted(unknown)}")
+    if "describe" in spec and len(spec) > 1 + ("order_by" in spec) + (
+        "limit" in spec
+    ) + ("offset" in spec):
+        raise SystemExit(
+            "'describe' is standalone: a resource id (or list) whose "
+            "depth-1 triple neighborhood IS the result; it composes "
+            "only with order_by/limit/offset"
+        )
     if "construct" in spec and (
         spec.get("select") or spec.get("distinct")
     ):
@@ -233,7 +247,9 @@ def main() -> None:
         raise SystemExit(
             "'values' must be a list of {var: value} binding rows"
         )
-    if "construct" in spec:
+    if "describe" in spec:
+        result = describe(triples, spec["describe"])
+    elif "construct" in spec:
         template = [
             (p[0], p[1], p[2])
             for p in spec["construct"]

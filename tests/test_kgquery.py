@@ -994,3 +994,33 @@ class TestValuesMinus:
             )
         with pytest.raises(ValueError, match="empty VALUES"):
             bgp_query(triples_df, [], values=[{}])
+
+
+class TestDescribe:
+    def test_depth1_neighborhood(self, triples_df):
+        from antnre_spark.kgquery import describe
+
+        out = describe(triples_df, "n1")
+        expect = sorted(
+            (s, p, o, len(s))
+            for (s, p, o) in TRIPLES
+            if s == "n1" or o == "n1"
+        )
+        rows = sorted(
+            (r["subj"], r["pred"], r["obj"], r["n_evidence"])
+            for r in out.collect()
+        )
+        assert rows == expect
+
+    def test_multiple_resources_and_validation(self, triples_df):
+        from antnre_spark.kgquery import describe
+
+        out = describe(triples_df, ["c4", "r2"])
+        expect = {
+            (s, p, o) for (s, p, o) in TRIPLES
+            if s in ("c4", "r2") or o in ("c4", "r2")
+        }
+        assert {(r["subj"], r["pred"], r["obj"])
+                for r in out.collect()} == expect
+        with pytest.raises(ValueError, match="DESCRIBE"):
+            describe(triples_df, [])

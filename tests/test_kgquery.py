@@ -1024,3 +1024,44 @@ class TestDescribe:
                 for r in out.collect()} == expect
         with pytest.raises(ValueError, match="DESCRIBE"):
             describe(triples_df, [])
+
+
+class TestRandomizedBgp:
+    """Property test: RANDOM 1-3-pattern BGPs (variables in any
+    position including the predicate, repeated variables, fully-bound
+    gates mixed in) must match the brute-force binding enumerator with
+    bag multiplicity. Derandomized (fixed example sequence) so a
+    failure reproduces; each example is one tiny Spark job."""
+
+    def test_random_bgps_match_brute(self, triples_df):
+        from hypothesis import HealthCheck, assume, given, settings
+        from hypothesis import strategies as st
+
+        ents = sorted({t[0] for t in TRIPLES} | {t[2] for t in TRIPLES})
+        preds = sorted({t[1] for t in TRIPLES})
+        term = st.sampled_from(ents + ["?x", "?y", "?z"])
+        pred_term = st.sampled_from(preds + ["?p", "?x"])
+        pattern = st.tuples(term, pred_term, term)
+
+        @settings(
+            max_examples=25,
+            deadline=None,
+            derandomize=True,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        @given(st.lists(pattern, min_size=1, max_size=3))
+        def check(pats):
+            pats = [tuple(p) for p in pats]
+            # at least one variable somewhere: an all-gates query yields
+            # a zero-column relation (shape not comparable to brute)
+            assume(any(t.startswith("?") for p in pats for t in p))
+            try:
+                out = bgp_query(triples_df, pats)
+            except ValueError:
+                assume(False)  # disconnected BGP — rejected by design
+            assert got(out) == brute(TRIPLES, pats)
+
+        check()

@@ -177,3 +177,33 @@ class TestExtractJobActions:
         markers = MarkerStore(str(tmp_path / "jobcount" / "_markers"))
         rows = [m for m in markers._rows() if m["stage"] == "extract"]
         assert rows and rows[0]["input_rows"] == expected
+
+
+class TestKgQueryPlans:
+    """r7 query-layer plan pins: VALUES broadcasts, Neg pushes to the
+    scan — the physical shapes the docstrings promise."""
+
+    @staticmethod
+    def _triples(spark, tmp_path):
+        rows = [("a", "p1", "b"), ("b", "p2", "c"), ("a", "p3", "c")]
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        ).write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    def test_values_relation_broadcasts(self, spark, tmp_path):
+        from antnre_spark.kgquery import bgp_query
+
+        t = self._triples(spark, tmp_path)
+        q = bgp_query(t, [("?m", "p1", "?n")], values=[{"m": "a"}])
+        assert "BroadcastHashJoin" in plan_of(q)
+
+    def test_neg_property_set_pushes_to_scan(self, spark, tmp_path):
+        from antnre_spark.kgquery import Neg, bgp_query
+
+        t = self._triples(spark, tmp_path)
+        q = bgp_query(t, [("?a", Neg("p1"), "?b")])
+        plan = plan_of(q)
+        scan = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert scan and "Not(EqualTo(pred,p1))" in scan[0]

@@ -486,6 +486,34 @@ def predicate_stats(triples: DataFrame) -> dict[str, int]:
     }
 
 
+def predicate_stats_from_manifest(table) -> dict[str, int] | None:
+    """Per-predicate row counts read from an IceLite MANIFEST — free at
+    any scale when the table is partitioned by ``pred`` (exactly how
+    ``jobs/link_materialize.py`` writes the triples table): sums the
+    live files' parquet row counts per ``partitions['pred']`` entry, no
+    Spark job at all. At 10^12 triples this replaces the one-pass scan
+    :func:`predicate_stats` costs with a metadata read. Returns None
+    when the table has no snapshot or any live file lacks a ``pred``
+    partition value (unpartitioned or differently-partitioned table) —
+    callers fall back to the scan. Partition values are stored in
+    Spark's path-escaped form; ``unquote`` restores predicates that
+    contain path-special characters (identifier-style vocabularies are
+    untouched)."""
+    from urllib.parse import unquote
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return None
+    out: dict[str, int] = {}
+    for f in table.manifest(snap)["files"]:
+        pred = f.get("partitions", {}).get("pred")
+        if pred is None:
+            return None
+        pred = unquote(pred)
+        out[pred] = out.get(pred, 0) + f["rows"]
+    return out
+
+
 #: selectivity credit per bound subject/object position when
 #: estimating a pattern's scan cardinality from predicate stats —
 #: a fixed, deterministic divisor (no per-value stats are kept).

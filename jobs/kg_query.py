@@ -93,6 +93,7 @@ from antnre_spark.kgquery import (  # noqa: E402
     construct,
     describe,
     predicate_stats,
+    predicate_stats_from_manifest,
 )
 from antnre_spark.session import get_spark  # noqa: E402
 
@@ -223,9 +224,15 @@ def main() -> None:
     union = [
         _decode_patterns(g, "union") for g in spec.get("union", [])
     ] or None
-    # "stats": true = one groupBy(pred).count() pass over the queried
-    # table, switching join order to estimated-cardinality order.
-    stats = predicate_stats(triples) if spec.get("stats") else None
+    # "stats": true switches the join order to estimated-cardinality
+    # order. Source: the table MANIFEST when it is pred-partitioned
+    # (free — a metadata read, no job), else one groupBy(pred).count()
+    # pass over the table.
+    stats = None
+    if spec.get("stats"):
+        stats = predicate_stats_from_manifest(
+            IceLite(f"{args.out}/{args.table}")
+        ) or predicate_stats(triples)
     optional = [
         _decode_patterns(g, "optional") for g in spec.get("optional", [])
     ] or None

@@ -1065,3 +1065,32 @@ class TestRandomizedBgp:
             assert got(out) == brute(TRIPLES, pats)
 
         check()
+
+
+class TestManifestStats:
+    def test_manifest_counts_equal_scan_counts(self, spark, tmp_path):
+        """r7: per-predicate stats from the IceLite manifest of a
+        pred-partitioned table must equal the one-pass scan's counts —
+        and cost zero Spark jobs (pure metadata read)."""
+        from antnre_spark.icelite import IceLite
+        from antnre_spark.kgquery import (
+            predicate_stats,
+            predicate_stats_from_manifest,
+        )
+
+        df = spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+        tab = IceLite(str(tmp_path / "triples"))
+        tab.overwrite_partitions(df, ["pred"])
+        from_manifest = predicate_stats_from_manifest(tab)
+        assert from_manifest == predicate_stats(tab.load(spark))
+
+    def test_unpartitioned_table_returns_none(self, spark, tmp_path):
+        from antnre_spark.icelite import IceLite
+        from antnre_spark.kgquery import predicate_stats_from_manifest
+
+        df = spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+        tab = IceLite(str(tmp_path / "flat"))
+        tab.overwrite(df)
+        assert predicate_stats_from_manifest(tab) is None
+        empty = IceLite(str(tmp_path / "nothing"))
+        assert predicate_stats_from_manifest(empty) is None

@@ -62,12 +62,10 @@ def main() -> None:
         entrymod.synth_transcripts(spark, args.sf, mult=1).write.mode(
             "overwrite"
         ).parquet(input_path)
-    drop_dir = f"{input_path}_drops4"
-    if not os.path.exists(os.path.join(drop_dir, "_SUCCESS")):
-        spark.read.parquet(input_path).repartition(4).write.mode(
-            "overwrite"
-        ).parquet(drop_dir)
-    files_per_trigger = max(1, 4 // args.batches)
+    from bench import KG_STREAM_DROP_FILES, prepare_kg_stream_drops
+
+    drop_dir = prepare_kg_stream_drops(spark, input_path)
+    files_per_trigger = max(1, KG_STREAM_DROP_FILES // args.batches)
 
     weights = os.path.join(REPO, "fixtures", "data", "weights.npz")
     vocab = os.path.join(REPO, "fixtures", "data", "vocab.json")

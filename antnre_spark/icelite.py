@@ -121,9 +121,20 @@ class IceLite:
                     f"another writer (exclusive-create fallback); re-read "
                     f"current_snapshot() and retry"
                 ) from None
-            with os.fdopen(fd, "w") as out:
-                with open(tmp) as src:
-                    out.write(src.read())
+            try:
+                with os.fdopen(fd, "w") as out:
+                    with open(tmp) as src:
+                        out.write(src.read())
+            except BaseException:
+                # a partial snap-N.json would wedge the table forever:
+                # every retry hits EEXIST and every reader fails in
+                # json.load. Remove it so the commit stays retryable
+                # (r7 review).
+                try:
+                    os.unlink(final)
+                except OSError:
+                    pass
+                raise
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)

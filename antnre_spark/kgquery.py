@@ -293,8 +293,6 @@ def closure_pairs(
         )
         delta = seen
         for _ in range(MAX_CLOSURE_BFS_ROUNDS):
-            if delta.isEmpty():
-                break
             delta = _cut_lineage(
                 delta.select("a", F.col("b").alias("m"))
                 .join(edge.select(F.col("a").alias("m"), "b"), "m")
@@ -302,6 +300,11 @@ def closure_pairs(
                 .distinct()
                 .join(seen, ["a", "b"], "left_anti")
             )
+            # emptiness checked on the delta JUST computed (r7 review:
+            # a top-of-loop check made a fixpoint reached exactly at
+            # the cap raise spuriously — effective cap was N-1)
+            if delta.isEmpty():
+                break
             seen = seen.unionByName(delta)  # union of checkpointed frames
         else:
             raise RuntimeError(
@@ -536,8 +539,7 @@ def _est_cost(p: Pattern, stats: dict[str, int]) -> float:
         # chain cardinality is join-dependent; the deterministic proxy
         # is the largest step (bounded endpoints still divide below)
         est = max(
-            _est_cost(("?a", s, "?b"), stats) * _BOUND_TERM_SELECTIVITY**0
-            for s in pred.steps
+            _est_cost(("?a", s, "?b"), stats) for s in pred.steps
         )
         for term in (p[0], p[2]):
             if not _is_var(term):
@@ -718,6 +720,18 @@ def bgp_query(
     (A.C)``, per the SPARQL algebra); variables a group does not bind
     are NULL-padded (SPARQL's unbound), so disjoint-variable groups
     union cleanly; set semantics come from the ``distinct`` flag.
+
+    DOCUMENTED DIVERGENCE on NULL-padded bindings downstream: the
+    existence verbs (``exists_patterns`` / ``not_exists_patterns`` /
+    ``minus_patterns``) compare on the shared variables with equality
+    join keys, and a NULL key never matches — so a binding whose
+    shared variable is unbound (NULL from a union branch) FAILS every
+    EXISTS test (SPARQL's compatibility rule would let the unbound
+    variable match anything) and survives every NOT EXISTS / MINUS.
+    This is the hash-joinable semantics; the spec-exact rule needs a
+    per-row variable join-key set (a non-equi OR join — not a hash
+    join at 10^12 rows). Queries mixing union-padded variables into
+    existence tests should test on variables every branch binds.
     With UNION groups present, ``patterns`` may be empty (a pure
     ``{A} UNION {B}`` query). ``filters`` apply AFTER the union (they
     may reference union variables — NULL where a branch leaves them

@@ -266,14 +266,19 @@ def materialize_kg_stream(
 
     from antnre_spark import link, materialize
 
-    per_raw_t = tables["surface_counts"].load(spark)
-    if per_raw_t is None:
-        return
+    # snapshot ids BEFORE load() pins the file lists (r7 review): a
+    # commit landing between load and key-read would stamp the marker
+    # with data the relink never consumed; reading the key first means
+    # a racing commit leaves the marker STALE (older id than the data
+    # actually read) and the next call re-runs — the safe direction.
     linked_key = {
         "surface_counts": tables["surface_counts"].current_snapshot(),
         "triple_partials": tables["triple_partials"].current_snapshot(),
         "tau": tau,
     }
+    per_raw_t = tables["surface_counts"].load(spark)
+    if per_raw_t is None:
+        return
     marker = _link_marker_path(tables)
     if skip_if_current and os.path.exists(marker):
         try:

@@ -50,6 +50,24 @@ LIKE_FOR_LIKE_R3 = (
 )
 
 
+#: kg_stream drop-dir shape shared with BENCH/stream_profile.py — the
+#: profiler must decompose EXACTLY the configuration the bench row runs
+#: (r7 review: a private copy could silently drift).
+KG_STREAM_DROP_FILES = 4
+
+
+def prepare_kg_stream_drops(spark, input_path: str) -> str:
+    """Materialize the kg_stream row's drop directory (idempotent,
+    untimed setup): the bench input repartitioned into
+    KG_STREAM_DROP_FILES parquet files under <input>_drops4."""
+    drop_dir = f"{input_path}_drops4"
+    if not os.path.exists(os.path.join(drop_dir, "_SUCCESS")):
+        spark.read.parquet(input_path).repartition(
+            KG_STREAM_DROP_FILES
+        ).write.mode("overwrite").parquet(drop_dir)
+    return drop_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -249,11 +267,7 @@ def main() -> None:
         return spark_.range(n_triples)
 
     def prepare_kg_stream_input(path=input_path):
-        drop_dir = f"{path}_drops4"
-        if not os.path.exists(os.path.join(drop_dir, "_SUCCESS")):
-            spark.read.parquet(path).repartition(4).write.mode(
-                "overwrite"
-            ).parquet(drop_dir)
+        prepare_kg_stream_drops(spark, path)
 
     def dd_minhash_cands_only(spark_, sf_dir_):
         """Candidate GENERATION only (signature UDF + band self-join).

@@ -123,7 +123,11 @@ def _decode_pred(term):
         # from a bound endpoint when the pattern has one.
         raw_max = term.get("max", 1)
         max_hops = None if raw_max in (None, "*") else int(raw_max)
-        return KPath(term["path"], int(term.get("min", 1)), max_hops)
+        # the inner predicate may itself be {'seq'}/{'neg'} (the
+        # docstring's "nestable inside {'path': ...}") — decode it
+        return KPath(
+            _decode_pred(term["path"]), int(term.get("min", 1)), max_hops
+        )
     return term
 
 
@@ -193,7 +197,7 @@ def main() -> None:
         k in spec
         for k in (
             "construct", "group_by", "aggs", "having", "select",
-            "distinct", "order_by", "limit",
+            "distinct", "order_by", "limit", "offset",
         )
     ):
         raise SystemExit(

@@ -1094,3 +1094,25 @@ class TestManifestStats:
         assert predicate_stats_from_manifest(tab) is None
         empty = IceLite(str(tmp_path / "nothing"))
         assert predicate_stats_from_manifest(empty) is None
+
+
+class TestClosureCapBoundary:
+    def test_fixpoint_at_exact_cap_does_not_raise(
+        self, spark, monkeypatch
+    ):
+        """r7 review: the seeded BFS checks emptiness on the delta JUST
+        computed, so a closure whose last new pair lands in the final
+        allowed round completes instead of raising spuriously."""
+        import antnre_spark.kgquery as kq
+
+        chain = [(f"v{i}", "next", f"v{i+1}") for i in range(5)]
+        t = spark.createDataFrame(chain, ["subj", "pred", "obj"])
+        seed = spark.createDataFrame([("v0",)], "a string")
+        # 5 pairs from v0; rounds: d2, d3, d4, d5, empty-confirm = 5
+        monkeypatch.setattr(kq, "MAX_CLOSURE_BFS_ROUNDS", 5)
+        out = kq.closure_pairs(t, "next", 1, sources=seed)
+        assert out.count() == 5
+        # one round fewer genuinely cannot confirm the fixpoint
+        monkeypatch.setattr(kq, "MAX_CLOSURE_BFS_ROUNDS", 3)
+        with pytest.raises(RuntimeError, match="no fixpoint"):
+            kq.closure_pairs(t, "next", 1, sources=seed).count()

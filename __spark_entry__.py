@@ -1134,15 +1134,18 @@ WHERE p1.pred = 'in_nation'
 
 
 def q_kq_union(spark, sf_dir):
-    """SPARQL UNION of binding groups (kgquery.bgp_query
-    union_patterns, r7): nations of region r0 with their members via
-    TWO union branches — customers-with-orders (binds ?m, ?ord) and
-    suppliers (binds ?w) — joined with the required region pattern per
-    the algebra identity A.{B UNION C} == (A.B) UNION (A.C), variables
-    a branch does not bind NULL-padded (SPARQL unbound). Exercises the
-    r7 stats-hinted join order too (predicate_stats pass). The DuckDB
-    twin writes the same two join trees UNION ALL'd with typed
-    NULLs."""
+    """SPARQL UNION + VALUES + MINUS in one certified row (kgquery.
+    bgp_query, r7): nations restricted to regions {r0, r2} by an
+    inline VALUES binding table (literal relation joined on ?r), their
+    members via TWO union branches — customers-with-orders (binds ?m,
+    ?ord) and suppliers (binds ?w) — joined with the required region
+    pattern per the algebra identity A.{B UNION C} == (A.B) UNION
+    (A.C), variables a branch does not bind NULL-padded (SPARQL
+    unbound); then MINUS removes suppliers of nation n0 (anti join on
+    the shared ?w — branch-1 rows carry w=NULL, and a NULL key never
+    matches, so they survive exactly as the correlated-NOT-EXISTS
+    DuckDB twin keeps them). Exercises the r7 stats-hinted join order
+    too (predicate_stats pass)."""
     import sys
 
     sys.path.insert(0, REPO)
@@ -1168,11 +1171,13 @@ def q_kq_union(spark, sf_dir):
     )
     return bgp_query(
         triples,
-        patterns=[("?n", "in_region", "r0")],
+        patterns=[("?n", "in_region", "?r")],
         union_patterns=[
             [("?m", "in_nation", "?n"), ("?m", "placed", "?ord")],
             [("?w", "s_nation", "?n")],
         ],
+        values=[{"r": "r0"}, {"r": "r2"}],
+        minus_patterns=[[("?w", "s_nation", "n0")]],
         stats=predicate_stats(triples),
     )
 
@@ -1187,18 +1192,23 @@ WITH t AS (
   SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey FROM nation
   UNION ALL
   SELECT 'c' || o_custkey, 'placed', 'o' || o_orderkey FROM orders
+),
+nr AS (
+  SELECT subj AS n, obj AS r FROM t
+  WHERE pred = 'in_region' AND obj IN ('r0', 'r2')
 )
-SELECT p1.subj AS m, nr.subj AS n, p2.obj AS ord,
+SELECT p1.subj AS m, nr.n, p2.obj AS ord, nr.r,
        CAST(NULL AS VARCHAR) AS w
-FROM t nr
-JOIN t p1 ON p1.pred = 'in_nation' AND p1.obj = nr.subj
+FROM nr
+JOIN t p1 ON p1.pred = 'in_nation' AND p1.obj = nr.n
 JOIN t p2 ON p2.pred = 'placed' AND p2.subj = p1.subj
-WHERE nr.pred = 'in_region' AND nr.obj = 'r0'
 UNION ALL
-SELECT CAST(NULL AS VARCHAR), nr.subj, CAST(NULL AS VARCHAR), p3.subj
-FROM t nr
-JOIN t p3 ON p3.pred = 's_nation' AND p3.obj = nr.subj
-WHERE nr.pred = 'in_region' AND nr.obj = 'r0'
+SELECT CAST(NULL AS VARCHAR), nr.n, CAST(NULL AS VARCHAR), nr.r, p3.subj
+FROM nr
+JOIN t p3 ON p3.pred = 's_nation' AND p3.obj = nr.n
+WHERE NOT EXISTS (SELECT 1 FROM t x
+                  WHERE x.pred = 's_nation' AND x.obj = 'n0'
+                    AND x.subj = p3.subj)
 """
 
 

@@ -743,3 +743,91 @@ def n_hop(
         visited = visited.unionByName(nxt)  # union of checkpointed frames
         frontier = nxt.select("v")
     return visited.select(F.col("v").alias("vertex"), "hop")
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight_col: str | None = None,
+    direction: str = "out",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Single/multi-source shortest paths over NON-NEGATIVE edge
+    weights: (vertex, dist) for every vertex reachable from the seed
+    set (column ``v``; seeds are dist 0.0). ``weight_col`` names the
+    edge weight (e.g. ``kg_edges(evidence_col=...)``'s ``weight``, or
+    a cost column); None = unit weights (then dist == n_hop's hop
+    count). ``direction`` as in :func:`n_hop`.
+
+    Frontier Bellman-Ford [pub: Bellman 1958; the delta-free frontier
+    form — only vertices whose distance IMPROVED last round relax
+    their out-edges this round]: per round one equi-join of the
+    frontier against the edge relation, a min-aggregate per
+    destination, and an improvement merge against the distance table —
+    all shuffle-bounded, no driver-side state beyond the one empty-
+    frontier probe per round (the same bounded-scalar discipline as
+    every loop in this module), lineage cut per round. Rounds are
+    bounded by the longest shortest-path EDGE COUNT (non-negative
+    weights guarantee convergence); ``max_rounds`` raises rather than
+    returning a partially-relaxed table (honest failure, like SCC and
+    k_core).
+
+    Scale posture: dist/frontier are per-vertex tables (<< |E|); the
+    big join is frontier⋈edges on src — AQE broadcasts small frontiers
+    and splits hub skew; the min-aggregate is partial (map-side
+    combine) before its exchange.
+    """
+    if direction == "out":
+        step = edges
+    elif direction == "in":
+        step = edges.withColumnRenamed("src", "_d").withColumnRenamed(
+            "dst", "src"
+        ).withColumnRenamed("_d", "dst")
+    elif direction == "both":
+        step = edges.unionByName(
+            edges.withColumnRenamed("src", "_d")
+            .withColumnRenamed("dst", "src")
+            .withColumnRenamed("_d", "dst")
+        )
+    else:
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    step = step.select("src", "dst", w.alias("w"))
+    dist = _cut_lineage(
+        seeds.select("v").distinct().select("v", F.lit(0.0).alias("dist"))
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(step, frontier["v"] == step["src"])
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("v")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = _cut_lineage(
+            cand.join(dist, "v", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("v", F.col("cand").alias("dist"))
+        )
+        if improved.isEmpty():
+            break
+        dist = _cut_lineage(
+            dist.join(improved.select("v"), "v", "left_anti").unionByName(
+                improved
+            )
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(
+            f"shortest_paths: no fixpoint after {max_rounds} relaxation "
+            "rounds (negative weights, or a longest shortest path with "
+            "more edges than the cap — raise max_rounds)"
+        )
+    return dist.select(F.col("v").alias("vertex"), "dist")

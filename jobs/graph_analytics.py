@@ -13,6 +13,7 @@ it to a distinct entity edge list, and writes:
   <out>/graph_pagerank   (vertex, rank)          — full vertex set
   <out>/graph_kcore      (v,)                    — k-core members
   <out>/graph_scc        (vertex, component)     — only with --scc
+  <out>/graph_sssp       (vertex, dist)          — only with --sssp
   <out>/graph_neighbors  (seed, vertex, hop)     — only with --hops > 0,
                                                    seeds = --top ranked
 
@@ -88,6 +89,16 @@ def main() -> None:
         help="entity id(s) for PERSONALIZED PageRank (teleport to the "
         "seed set); repeatable; writes graph_ppr instead of changing "
         "graph_pagerank",
+    )
+    ap.add_argument(
+        "--sssp",
+        action="append",
+        default=[],
+        metavar="ENTITY",
+        help="source entity id(s) for weighted single-source shortest "
+        "paths (r7: graph.shortest_paths — distance = 1/n_evidence per "
+        "edge under --weighted, unit hops otherwise); repeatable "
+        "(multi-source); writes graph_sssp (vertex, dist)",
     )
     args = ap.parse_args()
 
@@ -183,6 +194,25 @@ def main() -> None:
             IceLite(f"{args.out}/graph_ppr"), ppr
         )
         report["ppr_seeds"] = sorted(args.seed)
+    if args.sssp:
+        sssp_seeds = spark.createDataFrame(
+            [(s,) for s in args.sssp], "v string"
+        )
+        if weight_col is not None:
+            # evidence counts are AFFINITY (more evidence = closer):
+            # invert into a positive distance so strong edges are short
+            sp_edges = edges.withColumn(
+                "cost", F.lit(1.0) / F.col(weight_col)
+            )
+            sp = graph.shortest_paths(
+                sp_edges, sssp_seeds, weight_col="cost"
+            )
+        else:
+            sp = graph.shortest_paths(edges, sssp_seeds)
+        report["sssp_rows"] = _append_rows(
+            IceLite(f"{args.out}/graph_sssp"), sp
+        )
+        report["sssp_sources"] = sorted(args.sssp)
     print(json.dumps(report))
 
 

@@ -497,3 +497,77 @@ class TestKgEdges:
             ).collect()
         }
         assert got == {("e1", "e2"): 5.0, ("e2", "e3"): 1.0}
+
+
+def dijkstra(weights: dict, sources: set[int]) -> dict[int, float]:
+    """Exact oracle: heap-free Dijkstra over the weighted fixture."""
+    dist = {s: 0.0 for s in sources}
+    done: set[int] = set()
+    while True:
+        cand = {v: d for v, d in dist.items() if v not in done}
+        if not cand:
+            return dist
+        u = min(cand, key=lambda v: (cand[v], v))
+        done.add(u)
+        for (a, b), w in weights.items():
+            if a == u and dist[u] + w < dist.get(b, float("inf")):
+                dist[b] = dist[u] + w
+
+
+class TestShortestPaths:
+    WEIGHTS = {(a, b): 1.0 + ((a * 7 + b * 3) % 5) for a, b in EDGES}
+
+    @pytest.fixture(scope="class")
+    def weighted_df(self, spark):
+        return spark.createDataFrame(
+            [(vid(a), vid(b), w) for (a, b), w in self.WEIGHTS.items()],
+            "src string, dst string, weight double",
+        )
+
+    def test_weighted_matches_dijkstra(self, spark, weighted_df):
+        seeds = spark.createDataFrame([(vid(0),)], "v string")
+        got = {
+            r["vertex"]: r["dist"]
+            for r in graph.shortest_paths(
+                weighted_df, seeds, weight_col="weight"
+            ).collect()
+        }
+        want = {
+            vid(v): d for v, d in dijkstra(self.WEIGHTS, {0}).items()
+        }
+        assert got == pytest.approx(want)
+
+    def test_unit_weights_equal_hop_counts(self, spark, edges_df):
+        seeds = spark.createDataFrame([(vid(20),)], "v string")
+        got = {
+            r["vertex"]: r["dist"]
+            for r in graph.shortest_paths(edges_df, seeds).collect()
+        }
+        hops = {
+            r["vertex"]: float(r["hop"])
+            for r in graph.n_hop(edges_df, seeds, 30).collect()
+        }
+        assert got == hops
+
+    def test_multi_source_and_direction(self, spark, weighted_df):
+        seeds = spark.createDataFrame(
+            [(vid(13),), (vid(19),)], "v string"
+        )
+        got = {
+            r["vertex"]: r["dist"]
+            for r in graph.shortest_paths(
+                weighted_df, seeds, weight_col="weight", direction="in"
+            ).collect()
+        }
+        inv = {(b, a): w for (a, b), w in self.WEIGHTS.items()}
+        want = {
+            vid(v): d for v, d in dijkstra(inv, {13, 19}).items()
+        }
+        assert got == pytest.approx(want)
+
+    def test_round_cap_raises_honestly(self, spark, weighted_df):
+        seeds = spark.createDataFrame([(vid(0),)], "v string")
+        with pytest.raises(RuntimeError, match="shortest_paths"):
+            graph.shortest_paths(
+                weighted_df, seeds, weight_col="weight", max_rounds=2
+            )

@@ -1353,6 +1353,75 @@ ORDER BY vertex
 """
 
 
+def q_gr_sssp(spark, sf_dir):
+    """Weighted MULTI-source shortest paths (graph.shortest_paths, r7 —
+    frontier Bellman-Ford, only improved vertices relax per round) on a
+    3-layer weighted hierarchy with ANALYTICALLY known distances:
+    every customer is a source (dist 0), customer -> nation edges cost
+    1 + custkey % 3, nation -> region and region -> world cost 1. So
+    dist(nation) = MIN over its customers of (1 + custkey % 3),
+    dist(region) = MIN over its customer-bearing nations + 1, dist(w)
+    = MIN over regions + 1 — a closed form the DuckDB twin computes
+    with three grouped MINs, no recursion. The layered shape converges
+    in 4 relaxation rounds at ANY scale factor (the operational reason
+    this demo is not a ring: Bellman-Ford rounds are linear in path
+    length by design — deep-path behavior is pinned by the Dijkstra-
+    oracle pytest suite instead)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from antnre_spark.graph import shortest_paths
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cn = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+            "dst"
+        ),
+        (F.lit(1.0) + (F.col("c_custkey") % 3).cast("double")).alias("cost"),
+    )
+    nr = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias(
+            "dst"
+        ),
+        F.lit(1.0).alias("cost"),
+    )
+    rw = r.select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias(
+            "src"
+        ),
+        F.lit("w").alias("dst"),
+        F.lit(1.0).alias("cost"),
+    )
+    edges = cn.unionByName(nr).unionByName(rw)
+    seeds = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("v")
+    )
+    return shortest_paths(edges, seeds, weight_col="cost").orderBy("vertex")
+
+
+SQL_GR_SSSP = """
+WITH cn AS (
+  SELECT 'n' || c_nationkey AS v, MIN(1.0 + c_custkey % 3) AS d
+  FROM customer GROUP BY 1),
+nr AS (
+  SELECT 'r' || n_regionkey AS v, MIN(cn.d + 1.0) AS d
+  FROM nation JOIN cn ON cn.v = 'n' || n_nationkey GROUP BY 1),
+wd AS (SELECT 'w' AS v, MIN(d + 1.0) AS d FROM nr)
+SELECT v AS vertex, d::DOUBLE AS dist FROM (
+  SELECT 'c' || c_custkey AS v, 0.0 AS d FROM customer
+  UNION ALL SELECT v, d FROM cn
+  UNION ALL SELECT v, d FROM nr
+  UNION ALL SELECT v, d FROM wd)
+ORDER BY vertex
+"""
+
+
 SQL_KQ_BGP = """
 WITH t AS (
   SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred,
@@ -2281,9 +2350,11 @@ def q_ss_ivf_topk_batch(spark, sf_dir):
     (simsearch.ivf_topk_batch). The exact brute-force per-query top-k —
     formerly the separate ss_topk_cosine demo — is merged in as the
     verification leg: ``in_exact`` marks whether each ANN hit is in the
-    true top-k, so recall is visible per row. FULLY oracle-checked:
-    DuckDB replays the identical centroid literals, cell assignment,
-    per-query probe ranking, and both window top-ks."""
+    true top-k, so recall is visible per row. r7 additionally merges the
+    former ss_ivf_topk row (single-query IVF, k=10) as the 'single'
+    section — same precedent, freeing a 50-cap slot for gr_sssp. FULLY
+    oracle-checked: DuckDB replays the identical centroid literals,
+    cell assignment, per-query probe ranking, and all window top-ks."""
     import sys
 
     sys.path.insert(0, REPO)
@@ -2333,13 +2404,34 @@ def q_ss_ivf_topk_batch(spark, sf_dir):
         .filter(F.col("r") <= 5)
         .select("query_id", "vec_id", F.lit(True).alias("_hit"))
     )
-    return approx.join(exact, ["query_id", "vec_id"], "left").select(
+    batch = approx.join(exact, ["query_id", "vec_id"], "left").select(
+        F.lit("batch").alias("method"),
         "query_id",
         "vec_id",
         "cosine",
         "rank",
         F.coalesce("_hit", F.lit(False)).alias("in_exact"),
     )
+    # r7 merge: the former ss_ivf_topk row — SINGLE-query IVF top-k
+    # (driver-side probe-set computation, k=10) — rides along as the
+    # 'single' section, freeing its 50-cap slot for gr_sssp. Identical
+    # simsearch.ivf_topk call and oracle body as before.
+    from antnre_spark.simsearch import ivf_topk
+
+    # rank recomputed over the single section's own ordering; in_exact
+    # is NOT EVALUATED for this section (constant false both engines —
+    # engine NULL canonicalization differs NULL-vs-NaN, so sentinels
+    # must be real values)
+    ws = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    single = ivf_topk(idx, _query_vec(sf_dir), cents, k=10, nprobe=2).select(
+        F.lit("single").alias("method"),
+        F.lit(0).cast("long").alias("query_id"),
+        "vec_id",
+        "cosine",
+        F.row_number().over(ws).alias("rank"),
+        F.lit(False).alias("in_exact"),
+    )
+    return batch.unionByName(single)
 
 
 def _ss_ivf_batch_sql(
@@ -2427,6 +2519,21 @@ FROM approx ap
 LEFT JOIN exact ex
   ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
 WHERE ap.rank <= {k}
+"""
+
+
+def _ss_ivf_merged_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of the merged ss_ivf_topk_batch demo: the batch body
+    and the former single-query body, method-tagged and unioned (rank /
+    in_exact NULL-typed on the single section, query_id pinned 0 — the
+    single demo's query vector IS vec 0)."""
+    return f"""
+SELECT 'batch' AS method, * FROM ({_ss_ivf_batch_sql(sf_dir)})
+UNION ALL
+SELECT 'single', 0::BIGINT, vec_id, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC),
+       FALSE
+FROM ({_ss_ivf_sql(sf_dir)})
 """
 
 
@@ -2863,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kq_closure": q_kq_closure,
         "gr_pagerank": q_gr_pagerank,
         "gr_scc": q_gr_scc,
+        "gr_sssp": q_gr_sssp,
         "i_semi_anti_join": q_i_semi_anti_join,
         "i_broadcast_join": q_i_broadcast_join,
         "i_asof_join": q_i_asof_join,
@@ -2886,7 +2994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its in_exact verification leg (r3 verdict task 3)
         "ss_ivf_topk_batch": q_ss_ivf_topk_batch,
         "ss_bucketed_topk": q_ss_bucketed_topk,
-        "ss_ivf_topk": q_ss_ivf_topk,
         "mm_media_stats": q_mm_media_stats,
     }
     return base
@@ -2924,8 +3031,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         ("kg_triples", _kg_triples_sql),
         ("dd_cosine_lsh_banded", _cosine_lsh_merged_sql),
         ("ss_bucketed_topk", _ss_bucketed_sql),
-        ("ss_ivf_topk", _ss_ivf_sql),
-        ("ss_ivf_topk_batch", _ss_ivf_batch_sql),
+        ("ss_ivf_topk_batch", _ss_ivf_merged_sql),
         ("tr_pair_features", _tr_pair_sql),
     ):
         try:
@@ -2984,6 +3090,7 @@ def _build_oracle_sql(sf: str) -> dict[str, str]:
         "kq_union": SQL_KQ_UNION,
         "kq_closure": SQL_KQ_CLOSURE,
         "gr_scc": SQL_GR_SCC,
+        "gr_sssp": SQL_GR_SSSP,
     }
     # cache ONLY complete builds: pinning a degraded dict would make a
     # transient read failure permanently skip those oracles for the rest

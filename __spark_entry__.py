@@ -950,16 +950,18 @@ WHERE a LIKE 'c%'
 
 
 def q_kq_construct(spark, sf_dir):
-    """CONSTRUCT fragment (kgquery.construct): collapse the
-    customer -in_nation-> nation -in_region-> region chain into
-    derived direct triples (?c, in_region2, ?r) — the "derive a new
-    graph from the matched one" read-side op, output in the triples
-    schema. DuckDB twin: the same join with the constant predicate,
-    DISTINCT (CONSTRUCT set semantics)."""
+    """CONSTRUCT fragment (kgquery.construct) + r7 Seq certification:
+    collapse the customer -in_nation-> nation -in_region-> region
+    chain — written as the sequence path Seq("in_nation",
+    "in_region"), one pattern, no named intermediate — into derived
+    direct triples (?c, in_region2, ?r): the "derive a new graph from
+    the matched one" read-side op, output in the triples schema.
+    DuckDB twin: the same join with the constant predicate, DISTINCT
+    (CONSTRUCT set semantics — equal for the chain and the Seq)."""
     import sys
 
     sys.path.insert(0, REPO)
-    from antnre_spark.kgquery import construct
+    from antnre_spark.kgquery import Seq, construct
 
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -980,9 +982,14 @@ def q_kq_construct(spark, sf_dir):
             ),
         )
     )
+    # r7: the 2-pattern chain expressed as ONE sequence path (SPARQL
+    # in_nation/in_region — kgquery.Seq, chained equi-joins on the
+    # intermediate vertex) — the distinct (c, r) endpoint set is
+    # IDENTICAL to the explicit chain's, so the DuckDB twin is
+    # unchanged and the row now also certifies Seq
     return construct(
         triples,
-        patterns=[("?c", "in_nation", "?n"), ("?n", "in_region", "?r")],
+        patterns=[("?c", Seq("in_nation", "in_region"), "?r")],
         template=[("?c", "in_region2", "?r")],
     )
 
@@ -1104,10 +1111,17 @@ def q_kq_exists(spark, sf_dir):
             )
         )
     )
+    # r7: the EXISTS group names the placed edges via a NEGATED
+    # property set — Neg("in_nation", "in_region") ≡ pred = 'placed'
+    # on this 3-predicate view — so the row also certifies Neg against
+    # the unchanged pred='placed' DuckDB twin (value equality of the
+    # complement)
+    from antnre_spark.kgquery import Neg
+
     return bgp_query(
         triples,
         patterns=[("?m", "in_nation", "?n")],
-        exists_patterns=[[("?m", "placed", "?o")]],
+        exists_patterns=[[("?m", Neg("in_nation", "in_region"), "?o")]],
         not_exists_patterns=[[("?n", "in_region", "r0")]],
         distinct=True,
     )

@@ -2268,29 +2268,6 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
-def q_ss_ivf_topk(spark, sf_dir):
-    """IVF ANN top-k (the data-DEPENDENT scale path, complementing the
-    hyperplane-LSH index): seeded k-means coarse quantizer over a
-    deterministic md5-hash sample (unbiased, engine-portable — see
-    kmeans_centroids), cell assignment JVM-side from centroid literals,
-    nprobe-cell pruning, exact cosine rank. FULLY oracle-checked: DuckDB
-    recomputes the identical cells from the same centroid literals (shared
-    numpy k-means core over the same hash sample) and the same probe set.
-    Corpus-scale quantizer refresh exists as simsearch.refine_centroids
-    (distributed groupBy(cell) Lloyd round; pytest-covered — pinned off
-    here for last-ulp oracle reproducibility)."""
-    import sys
-
-    sys.path.insert(0, REPO)
-    from antnre_spark.simsearch import ivf_index, ivf_topk, kmeans_centroids
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    )
-    cents = kmeans_centroids(e)
-    return ivf_topk(ivf_index(e, cents), _query_vec(sf_dir), cents, k=10, nprobe=2)
-
-
 def _ss_ivf_sql(sf_dir: str | None = None, n_centroids: int = 16, nprobe: int = 2) -> str:
     import numpy as np
     import pyarrow.parquet as pq

@@ -1906,12 +1906,30 @@ def q_dd_minhash_candidates(spark, sf_dir):
     import sys
 
     sys.path.insert(0, REPO)
-    from antnre_spark.dedup import minhash_dup_candidates, word_ngrams
+    from antnre_spark.dedup import (
+        _ensure_parallelism,
+        minhash_dup_candidates,
+        word_ngrams,
+    )
 
     docs = _doc(spark, sf_dir)
     cand = minhash_dup_candidates(docs)
-    grams = docs.select(
-        "doc_id", word_ngrams(_norm_text(F.col("text")), 3).alias("g")
+    # r8 (guide §2.6): documents.parquet is one small file -> a 1-split
+    # scan, so the gram expansion for the verification legs ran on ONE of
+    # 32 cores (measured 73s single-core at sf1.0). minhash_dup_candidates
+    # fans out internally; the gram legs need the same treatment. No-op at
+    # scale where the scan has enough splits.
+    docs_p = _ensure_parallelism(docs)
+    # materialize the normalized text and token split as real columns so
+    # the per-gram lambda reads attributes instead of re-running the
+    # regex+split chain per gram (word_ngrams docstring, r8)
+    grams = (
+        docs_p.select("doc_id", _norm_text(F.col("text")).alias("nt"))
+        .select("doc_id", "nt", F.split("nt", " ").alias("toks"))
+        .select(
+            "doc_id",
+            word_ngrams(F.col("nt"), 3, toks=F.col("toks")).alias("g"),
+        )
     )
     a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
     b = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
@@ -2349,14 +2367,28 @@ def q_ss_ivf_topk_batch(spark, sf_dir):
     import sys
 
     sys.path.insert(0, REPO)
+    from antnre_spark.dedup import _ensure_parallelism
     from antnre_spark.simsearch import (
         ivf_index,
         ivf_topk_batch,
         kmeans_centroids,
     )
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    # r8 (guide §2.6): embeddings.parquet is ONE small file -> a 1-2
+    # partition scan, which serialized the whole query (index build, the
+    # cell join's stream side AND the 10M-pair exact-verify leg) onto 1-2
+    # of 32 cores at sf1.0. _ensure_parallelism fans out to
+    # defaultParallelism; a no-op at 100 TB where the scan already has
+    # thousands of splits. Round-robin repartition does not change any
+    # value: kmeans sampling is a global TakeOrdered by (md5, vec_id) and
+    # every downstream op is keyed/windowed.
+    # cast("array<double>") == the old transform(.., cast) element-wise
+    # (identical float->double widening) but is a plain codegen Cast, not
+    # an interpreted higher-order function re-evaluated per reference
+    e = _ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
     cents = kmeans_centroids(e)
     idx = ivf_index(e, cents)
@@ -2366,31 +2398,29 @@ def q_ss_ivf_topk_batch(spark, sf_dir):
     approx = ivf_topk_batch(idx, queries, cents, k=5, nprobe=2)
 
     # exact-verify leg: brute-force per-query top-k membership (the
-    # ss_topk_cosine scan, batched). crossJoin is the POINT here — it is
-    # the exact baseline the ANN path is judged against, bounded by
-    # |queries| x |corpus|, and only ever run at verification scale.
-    from antnre_spark.simsearch import _norm
+    # ss_topk_cosine scan, batched) — the exact baseline the ANN path is
+    # judged against, bounded by |queries| x |corpus|, and only ever run
+    # at verification scale.
+    # r8 (guide §4.2/§8): this leg WAS a |queries| x |corpus|
+    # crossJoin (10M pairs at sf1.0) paying an interpreted fold plus a
+    # joined-row copy of two 64-dim arrays per pair — 60+s of the 97s
+    # wall. cosine_scores_pruned computes the identical cosines in a
+    # numpy kernel (bit-exact fold order) and ships back only a provable
+    # superset of the rounded top-5 per query; F.round + the window stay
+    # in the JVM so rounding/ranking semantics are unchanged. Still the
+    # exact brute-force baseline: every (query, corpus-row) pair is
+    # scored, only the pair *materialization* is gone.
+    from antnre_spark.simsearch import cosine_scores_pruned
 
-    q2 = queries.select(
-        "query_id",
-        F.col("embedding").alias("_qv"),
-        _norm(F.col("embedding")).alias("_qn"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("_qv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    qrows = [
+        (int(r["query_id"]), list(r["embedding"])) for r in queries.collect()
+    ]
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     exact = (
-        q2.crossJoin(e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("_n")))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(dot / (F.col("_n") * F.col("_qn")), 6).alias("cosine"),
-        )
+        cosine_scores_pruned(e, qrows, k=5)
+        .select("query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= 5)
         .select("query_id", "vec_id", F.lit(True).alias("_hit"))

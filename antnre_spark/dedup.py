@@ -179,12 +179,22 @@ def ngram_shingle_stats(
 # ---- MinHash + LSH (the scale path) -------------------------------------
 
 
-def word_ngrams(norm_text: Column, n: int = 3) -> Column:
+def word_ngrams(
+    norm_text: Column, n: int = 3, toks: Column | None = None
+) -> Column:
     """Distinct word n-gram shingle STRINGS of a normalized text — the JVM
     twin of the gram set inside _doc_band_udf (same split-on-single-space,
     same whole-text fallback for short docs), used to verify LSH candidates
-    with exact Jaccard in pure SQL-expressible form."""
-    toks = F.split(norm_text, " ")
+    with exact Jaccard in pure SQL-expressible form.
+
+    ``toks`` (r8, guide §4.1): optionally a PRE-MATERIALIZED token-array
+    column (must equal ``split(norm_text, " ")``). The gram lambda
+    references its token source once per gram; when that source is the
+    inline split-of-regex expression, the whole normalize+split chain
+    re-evaluates per gram (measured ~25us/gram). Projecting the tokens
+    into a real column first makes each reference an attribute read."""
+    if toks is None:
+        toks = F.split(norm_text, " ")
     count = F.size(toks) - F.lit(n - 1)
     gram = F.transform(
         F.sequence(F.lit(0), count - F.lit(1)),
@@ -321,14 +331,37 @@ def minhash_dup_candidates(
     pass a persisted one to share the signature UDF with the pre-flight."""
     if signed is None:
         signed = minhash_signed_bands(df, id_col, text_col)
-    sizes = signed.groupBy("band").agg(F.count("*").alias("n"))
-    bounded = signed.join(sizes.filter(F.col("n") <= max_bucket), "band").drop("n")
-    a = bounded.select(F.col("id").alias("id_a"), "band")
-    b = bounded.select(F.col("id").alias("id_b"), "band")
+    # r8 (guide §2.4): ONE pass instead of four. The previous shape —
+    # sizes agg JOIN signed, then a band self-join of that — evaluated
+    # the signature pandas UDF up to 4x per action (the `signed` subplan
+    # appears under sizes AND under each self-join leg) and paid three
+    # band shuffles. collect_list per band + in-array pair expansion is
+    # the same band-bucketed candidate set (bucket cap applied to the
+    # identical per-band count) from one UDF pass and one band shuffle;
+    # per-band work stays bounded by max_bucket^2, exactly as before.
+    ids = F.array_sort(F.collect_list("id"))
+    grouped = (
+        signed.groupBy("band")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") <= max_bucket)
+    )
+    s = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + F.lit(2), F.size(s)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "band")
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        # the sorted-array expansion yields id_a <= id_b; the strict
+        # filter drops the id_a == id_b pairs a duplicated (id, band)
+        # row would produce, exactly as the legacy self-join's < did
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 

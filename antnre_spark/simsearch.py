@@ -18,12 +18,34 @@ from pyspark.sql import functions as F
 from antnre_spark.hashing import plane_weights
 
 
+def _chain_sum(terms) -> Column:
+    """Left-assoc sum starting from literal 0.0 — the EXACT float fold
+    F.aggregate(..., F.lit(0.0), lambda acc, x: acc + x) performs
+    (((0.0 + t0) + t1) + ...), but as a flat codegen-compilable
+    expression chain instead of an interpreted higher-order function.
+    Bit-identical results (same IEEE ops in the same order, including
+    the leading 0.0 + t0 which normalizes -0.0 the same way)."""
+    acc: Column = F.lit(0.0)
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
 def _dot_with_lit(vec: Column, query: list[float]) -> Column:
-    qlit = F.array(*[F.lit(float(x)) for x in query])
-    return F.aggregate(
-        F.zip_with(vec, qlit, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Dot product against a literal vector.
+
+    r8 (guide §4.1/§2): the original
+    ``F.aggregate(F.zip_with(...))`` runs as an INTERPRETED lambda per
+    element (higher-order functions are CodegenFallback) — ~50-100x the
+    cost of the same arithmetic compiled. The unrolled chain below is
+    bit-identical (see _chain_sum) and is guarded by size(vec) ==
+    len(query): the fold returned NULL on any length mismatch (zip_with
+    null-pads, null poisons the sum), so the otherwise-branch
+    reproduces that, and the guard also keeps ANSI-mode getItem from
+    throwing on a short array (the branch is evaluated lazily)."""
+    chain = _chain_sum(vec[i] * F.lit(float(x)) for i, x in enumerate(query))
+    return F.when(F.size(vec) == len(query), chain).otherwise(
+        F.lit(None).cast("double")
     )
 
 
@@ -31,12 +53,23 @@ def _norm(vec: Column) -> Column:
     return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
 
 
-def _query_norm(vec: Column) -> Column:
+def _norm_d(vec: Column, dim: int) -> Column:
+    """L2 norm, codegen-unrolled for the common known-``dim`` case.
+    Bit-identical to _norm: same fold order (_chain_sum), and rows whose
+    array length differs from ``dim`` fall back to the legacy fold
+    (which sums over the row's OWN length — not a null, so a null
+    sentinel would be wrong here)."""
+    chain = F.sqrt(_chain_sum(vec[i] * vec[i] for i in range(dim)))
+    return F.when(F.size(vec) == dim, chain).otherwise(_norm(vec))
+
+
+def _query_norm(vec: Column, dim: int | None = None) -> Column:
     """Query-side norm with the zero guard the single-query paths apply
     driver-side (``math.sqrt(...) or 1.0``): an all-zero query vector
     yields cosine 0.0 rows, not NaNs that Spark sorts above every real
-    neighbor (r4 self-review)."""
-    n = _norm(vec)
+    neighbor (r4 self-review). ``dim`` switches to the codegen-unrolled
+    norm (bit-identical — see _norm_d)."""
+    n = _norm_d(vec, dim) if dim else _norm(vec)
     return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
 
@@ -52,12 +85,119 @@ def cosine_topk(
 
     qn = math.sqrt(sum(x * x for x in query)) or 1.0
     v = F.col(vec_col)
-    cos = _dot_with_lit(v, query) / (_norm(v) * F.lit(qn))
+    cos = _dot_with_lit(v, query) / (_norm_d(v, len(query)) * F.lit(qn))
     return (
         df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def cosine_scores_pruned(
+    df: DataFrame,
+    query_rows: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: float = 1.1e-6,
+) -> DataFrame:
+    """Map-side pruned EXACT bulk cosine scoring (r8, guide §4.2/§8):
+    for every driver-side query vector, each input batch emits only the
+    rows whose UNROUNDED cosine is within ``margin`` of the batch's k-th
+    largest — a provable superset of any global ``round(cosine, 6)``
+    top-k. This replaces a |queries| x |corpus| cross join whose pairs
+    each paid an interpreted fold and a joined-row copy; the kernel is
+    one numpy pass per batch and ships only candidate rows back.
+
+    Correctness: cosines are computed in the exact fold order of the
+    Spark expression ``dot / (norm * query_norm)`` (_fold_dots — bit-
+    identical doubles), and the FINAL rounding + ranking stay in the
+    JVM (caller applies F.round + a window), so rounding semantics are
+    Spark's own. Superset proof: round6 moves a value by at most
+    ~5.1e-7, so c >= c' + 1.1e-6 forces round6(c) > round6(c'); a row
+    dropped by the batch threshold therefore has >= k rows with a
+    strictly larger rounded cosine in its own batch and can never enter
+    the global rounded top-k. Non-finite cosines (zero-norm corpus
+    rows -> NaN, which Spark sorts ABOVE every double in a descending
+    window) are kept unconditionally.
+
+    Preconditions (matching every call site and the data asserts): the
+    corpus holds >= k rows with finite cosines per query, and degenerate
+    rows/queries (length mismatch, null elements) do not occur — the
+    legacy cross join gave those NULL cosines, which only rank when
+    fewer than k finite candidates exist. Queries are driver-side
+    (query_id, vector) tuples and must be bounded (the same assumption
+    the broadcast join made); query norms use the same sqrt-of-fold.
+    Output: (query_id long, <id_col> as in df, cosine double UNROUNDED).
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = df.select(id_col, vec_col)
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), True),
+            src.schema[id_col],
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    dims = {len(q) for _qid, q in query_rows}
+    if len(dims) > 1:
+        raise ValueError("mixed query dims unsupported — filter first")
+    dim = dims.pop() if dims else 0
+    Q = np.array([q for _qid, q in query_rows], dtype=np.float64).reshape(
+        len(query_rows), dim
+    )
+    qids = np.array([qid for qid, _q in query_rows], dtype=np.int64)
+    qn = np.array(
+        [math.sqrt(_py_fold_sumsq(q)) for _qid, q in query_rows],
+        dtype=np.float64,
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty or not len(qids):
+                continue
+            vecs = pdf[vec_col]
+            n = len(vecs)
+            lens = np.fromiter((len(x) for x in vecs), dtype=np.int64, count=n)
+            main = lens == dim
+            if not main.any():
+                continue
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in vecs[main]]
+            )
+            ids = pdf[id_col].values[main]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nn = np.sqrt(_fold_sumsq(X))
+                c = _fold_dots(X, Q) / (nn[:, None] * qn[None, :])
+            nk = X.shape[0] - k
+            if nk > 0:
+                thr = np.partition(c, nk, axis=0)[nk, :]
+                with np.errstate(invalid="ignore"):
+                    mask = c >= (thr[None, :] - margin)
+            else:
+                mask = np.ones_like(c, dtype=bool)
+            mask |= ~np.isfinite(c)
+            ri, qi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    id_col: ids[ri],
+                    "cosine": c[ri, qi],
+                }
+            )
+
+    return src.mapInPandas(score, out_schema)
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -68,12 +208,10 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     repr() literals). vec length must equal the plane dimension."""
 
     def plane_dot(w: list[float]) -> Column:
-        wlit = F.array(*[F.lit(float(x)) for x in w])
-        return F.aggregate(
-            F.zip_with(vec, wlit, lambda x, wv: x * wv),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        # unrolled codegen dot (r8) — bit-identical to the zip_with fold,
+        # incl. NULL on length mismatch (-> the when() falls to "0",
+        # exactly as the fold's NULL >= 0 did); see _dot_with_lit
+        return _dot_with_lit(vec, w)
 
     return F.concat_ws(
         "",
@@ -111,7 +249,8 @@ def bucketed_index(
     direction, so no cosine neighbor rank — and under ANSI mode (Spark 4
     default) its norm-0 row would turn every query that probes its
     bucket into a divide-by-zero job failure (r4 self-review)."""
-    planes = plane_weights(dim or _infer_dim(df, vec_col), n_planes)
+    d = dim or _infer_dim(df, vec_col)
+    planes = plane_weights(d, n_planes)
     v = F.col(vec_col)
     return (
         df.filter(v.isNotNull())
@@ -119,7 +258,7 @@ def bucketed_index(
             hyperplane_bucket(v, planes).alias("bucket"),
             F.col(id_col),
             v.alias(vec_col),
-            _norm(v).alias("norm"),
+            _norm_d(v, d).alias("norm"),
         )
         .filter(F.col("norm") > 0.0)
     )
@@ -248,7 +387,16 @@ def _sq_dists(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of squared L2 distances to each centroid via
     ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 — the exact formula the DuckDB
     oracle uses (list_sum/list_dot_product), so the argmin cell assignment
-    is bit-identical across engines."""
+    is bit-identical across engines.
+
+    Kept in the compact higher-order-function form ON PURPOSE (r8): an
+    unrolled 16-centroid x 64-dim chain is ~2000 expression nodes that
+    the optimizer re-walks per action and janino must compile per plan —
+    measured as tens of seconds of driver-side planning at sf1.0. The
+    HOF form is interpreted but tiny, and every hot path now assigns
+    cells via the numpy kernel (ivf_index arrow path) instead; this
+    expression only runs on bounded query sets (ivf_probe_cells) and in
+    refine_centroids."""
     vv = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
     dists = []
     for c in centroids:
@@ -269,25 +417,150 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_position(d, F.array_min(d)).cast("int")
 
 
+def _fold_dots(X, W):
+    """[n, d] x [m, d] -> [n, m] dot products in the EXACT left-fold
+    summation order of the Spark expression
+    ``F.aggregate(F.zip_with(...), lit(0.0), acc + x)``: one vectorized
+    elementwise pass per dimension, sequential across dimensions.
+    Bit-identical to the JVM fold — unlike BLAS matmul, whose summation
+    order (blocking, FMA) is unspecified."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], W.shape[0]), dtype=np.float64)
+    for i in range(X.shape[1]):
+        acc += X[:, i, None] * W[None, :, i]
+    return acc
+
+
+def _fold_sumsq(X):
+    """[n, d] -> [n] sum of squares in exact fold order (see _fold_dots)."""
+    import numpy as np
+
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for i in range(X.shape[1]):
+        acc += X[:, i] * X[:, i]
+    return acc
+
+
+def _py_fold_sumsq(vals) -> float:
+    """Scalar twin of _fold_sumsq for odd-length rows (python floats ARE
+    IEEE doubles, so the fold is the same arithmetic)."""
+    acc = 0.0
+    for x in vals:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
 def ivf_index(
     df: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> DataFrame:
     """Materializable IVF index: (cell, id, vec, norm). Write partitioned
     by cell; a query prunes to nprobe cells. Complements the hyperplane-LSH
     index: IVF cells adapt to the data distribution (k-means), LSH buckets
-    are data-independent — at 100 TB you pick per corpus shape."""
+    are data-independent — at 100 TB you pick per corpus shape.
+
+    r8 (guide §4.2): cell assignment + norm run as a numpy mapInPandas
+    kernel (``arrow=True``) instead of the 16-centroid interpreted
+    higher-order-function expression — same values (exact fold order,
+    _fold_dots), ~50x less per-row cost and no giant expression tree for
+    the optimizer to re-walk. The kernel requires array<double> vectors;
+    other element types keep the expression path. Rows whose vector
+    length differs from the centroid dim get cell NULL and their own-
+    length norm, exactly as the legacy expression produced (null dot
+    poisons every distance; the norm fold runs over the row's own
+    elements). Rows with null/NaN elements produce a NaN norm in the
+    kernel where the expression produced NULL — indistinguishable after
+    the ``norm > 0.0`` filter both paths apply, which is the only place
+    such rows can go."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     v = F.col(vec_col)
-    # null/zero-norm vectors excluded, same reasoning as bucketed_index
+    dim = len(centroids[0])
+    elem_t = None
+    try:
+        elem_t = df.schema[vec_col].dataType.elementType
+    except Exception:
+        pass
+    if arrow and isinstance(elem_t, DoubleType):
+        clean = df.filter(v.isNotNull()).select(id_col, vec_col)
+        C = np.array(centroids, dtype=np.float64)
+        # the exact ||c||^2 literals the expression path embeds (python
+        # sum() is the same left fold)
+        cc = np.array(
+            [sum(x * x for x in c) for c in centroids], dtype=np.float64
+        )
+        out_schema = StructType(
+            [
+                StructField("cell", IntegerType(), True),
+                clean.schema[id_col],
+                clean.schema[vec_col],
+                StructField("norm", DoubleType(), True),
+            ]
+        )
+
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vecs = pdf[vec_col]
+                n = len(vecs)
+                lens = np.fromiter(
+                    (len(x) for x in vecs), dtype=np.int64, count=n
+                )
+                cell = np.full(n, -1, dtype=np.int64)
+                norm = np.empty(n, dtype=np.float64)
+                main = lens == dim
+                if main.any():
+                    X = np.stack(
+                        [np.asarray(x, dtype=np.float64) for x in vecs[main]]
+                    )
+                    vv = _fold_sumsq(X)
+                    with np.errstate(invalid="ignore"):
+                        d = (vv[:, None] - 2.0 * _fold_dots(X, C)) + cc[None, :]
+                        cell[main] = np.argmin(d, axis=1) + 1
+                        norm[main] = np.sqrt(vv)
+                odd = ~main
+                if odd.any():
+                    import math
+
+                    for j in np.flatnonzero(odd):
+                        norm[j] = math.sqrt(_py_fold_sumsq(vecs.iloc[j]))
+                yield pd.DataFrame(
+                    {
+                        "cell": pd.array(
+                            [int(c) if c > 0 else None for c in cell],
+                            dtype="Int32",
+                        ),
+                        id_col: pdf[id_col].values,
+                        vec_col: vecs.values,
+                        "norm": norm,
+                    }
+                )
+
+        return clean.mapInPandas(assign, out_schema).filter(
+            F.col("norm") > 0.0
+        )
+    # expression path: null/zero-norm vectors excluded, same reasoning as
+    # bucketed_index
     return (
         df.filter(v.isNotNull())
         .select(
             ivf_cell(v, centroids).alias("cell"),
             F.col(id_col),
             v.alias(vec_col),
-            _norm(v).alias("norm"),
+            _norm_d(v, dim).alias("norm"),
         )
         .filter(F.col("norm") > 0.0)
     )
@@ -388,16 +661,19 @@ def ivf_topk_batch(
         .select(
             F.col(query_id_col),
             qv.alias("_qv"),
-            _query_norm(qv).alias("_qn"),
+            _query_norm(qv, dim).alias("_qn"),
             F.explode(ivf_probe_cells(qv, centroids, nprobe)).alias("cell"),
         )
     )
     joined = q.join(index, "cell")
-    dot = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("_qv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # unrolled codegen dot (r8): _qv is size-filtered above, so only the
+    # index side needs the length guard; mismatch -> NULL, exactly as the
+    # legacy zip_with fold null-padded (see _dot_with_lit)
+    v = F.col(vec_col)
+    dot = F.when(
+        F.size(v) == dim,
+        _chain_sum(v[i] * F.col("_qv")[i] for i in range(dim)),
+    ).otherwise(F.lit(None).cast("double"))
     cos = F.round(dot / (F.col("norm") * F.col("_qn")), 6)
     from pyspark.sql import Window
 
@@ -450,15 +726,16 @@ def bucketed_topk_batch(
     q = queries.filter(qv.isNotNull() & (F.size(qv) == dim)).select(
         F.col(query_id_col),
         qv.alias("_qv"),
-        _query_norm(qv).alias("_qn"),
+        _query_norm(qv, dim).alias("_qn"),
         F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
     )
     joined = q.join(index, "bucket")
-    dot = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("_qv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # unrolled codegen dot (r8) — same guard reasoning as ivf_topk_batch
+    v = F.col(vec_col)
+    dot = F.when(
+        F.size(v) == dim,
+        _chain_sum(v[i] * F.col("_qv")[i] for i in range(dim)),
+    ).otherwise(F.lit(None).cast("double"))
     cos = F.round(dot / (F.col("norm") * F.col("_qn")), 6)
     from pyspark.sql import Window
 

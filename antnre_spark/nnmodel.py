@@ -114,10 +114,18 @@ START_CONSTRAINTS = np.array(
 class AntNREModel:
     """Inference-only joint NER+RE model over whitespace tokens."""
 
+    #: char-feature cache bound — ~200k tokens x c_out float32 stays tens
+    #: of MB; a bigger stream of distinct tokens just resets the cache
+    CHAR_CACHE_MAX = 200_000
+
     def __init__(self, weights: dict[str, np.ndarray], vocab: dict[str, int]):
         self.w = {k: np.asarray(v, dtype=np.float32) for k, v in weights.items()}
         self.vocab = vocab
         self.hidden = self.w["lstm_fw_U"].shape[1]
+        # r8: memoized char-CNN rows (pure per-token function; the model
+        # instance lives for the worker's life, so repeated tokens across
+        # Arrow batches skip the conv entirely — bit-identical rows)
+        self._char_cache: dict[str, np.ndarray] = {}
 
     @classmethod
     def from_files(cls, npz_path: str, vocab_path: str) -> "AntNREModel":
@@ -135,11 +143,19 @@ class AntNREModel:
 
     def _char_feats(self, unique_tokens: list[str]) -> np.ndarray:
         """Char-CNN per unique token: embed -> width-3 conv -> relu -> maxpool.
-        (reference's char-CNN word encoder, `[pub: word_encoder.py]`)."""
+        (reference's char-CNN word encoder, `[pub: word_encoder.py]`).
+        Rows are memoized per token across calls (see _char_cache)."""
         ce, cw, cb = self.w["char_emb"], self.w["char_conv_W"], self.w["char_conv_b"]
         d = ce.shape[1]
+        cache = self._char_cache
         out = np.zeros((len(unique_tokens), cw.shape[0]), dtype=np.float32)
+        if len(cache) > self.CHAR_CACHE_MAX:
+            cache.clear()
         for i, tok in enumerate(unique_tokens):
+            hit = cache.get(tok)
+            if hit is not None:
+                out[i] = hit
+                continue
             s = tok.lower()[:MAX_TOKEN_LEN]
             ids = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
             ids = ids.astype(np.int64) % N_CHAR_BUCKETS
@@ -147,6 +163,7 @@ class AntNREModel:
                 # empty token (whitespace-only turn text tokenizes to
                 # [""]): zero char features instead of a zero-size
                 # maxpool crash (r4 adversarial-whitespace test)
+                cache[tok] = out[i].copy()
                 continue
             emb = ce[ids]  # [L, d]
             padded = np.vstack([np.zeros((1, d), np.float32), emb, np.zeros((1, d), np.float32)])
@@ -155,6 +172,7 @@ class AntNREModel:
             )  # [L, 3d]
             conv = np.maximum(wins @ cw.T + cb, 0.0)  # [L, c_out]
             out[i] = conv.max(axis=0)
+            cache[tok] = out[i].copy()
         return out
 
     def _lstm_dir(self, x: np.ndarray, mask: np.ndarray, direction: str) -> np.ndarray:
@@ -194,8 +212,17 @@ class AntNREModel:
         equivalent of the reference's length-bucketed minibatches
         (SURVEY.md §4.2) — then results are restored to input order.
         """
+        return self._encode_full(tokens_batch)[0]
+
+    def _encode_full(
+        self, tokens_batch: list[list[str]]
+    ) -> tuple[list[tuple[np.ndarray, np.ndarray]], list[np.ndarray]]:
+        """encode() plus the per-sentence token-id arrays it already
+        computes — extract() reuses them for the relation trigger lookup
+        instead of re-tokenizing every sentence (r8)."""
         n = len(tokens_batch)
         results: list = [None] * n
+        ids_out: list = [None] * n
         order = sorted(range(n), key=lambda i: (len(tokens_batch[i]), i))
         # char features once per unique token in the whole call
         uniq = sorted({t for toks in tokens_batch for t in toks})
@@ -217,6 +244,7 @@ class AntNREModel:
                 toks = tokens_batch[i]
                 ids = self._token_ids(toks)
                 ids_all.append(ids)
+                ids_out[i] = ids
                 L = len(toks)
                 mask[bi, :L] = 1.0
                 x[bi, :L, : emb.shape[1]] = emb[ids]
@@ -230,7 +258,7 @@ class AntNREModel:
                 L = len(tokens_batch[i])
                 e = emis[bi, :L, :] + gaz[ids_all[bi]]
                 results[i] = (hid[bi, :L, :], e)
-        return results
+        return results, ids_out
 
     # ---- CRF decode + spans --------------------------------------------
 
@@ -505,7 +533,7 @@ class AntNREModel:
         ``refine_types`` switches on the F4 GCN joint refinement pass;
         ``conf_mode='marginal'`` switches mention confidence to the CRF
         posterior marginal (see extract_mentions)."""
-        encoded = self.encode(tokens_batch)
+        encoded, tok_ids = self._encode_full(tokens_batch)
         # batched Viterbi per exact-length group: one T-loop per length
         # instead of one per sentence (same recurrence, see viterbi_many)
         tags_all: list = [None] * len(tokens_batch)
@@ -528,7 +556,7 @@ class AntNREModel:
             mentions = self.extract_mentions(
                 hidden, emissions, tags_all[i], conf_mode=conf_mode
             )
-            rels = self.classify_relations(hidden, self._token_ids(toks), mentions)
+            rels = self.classify_relations(hidden, tok_ids[i], mentions)
             if refine_types:
                 mentions, rels = self.refine_mention_types(hidden, mentions, rels)
             results.append((mentions, rels))

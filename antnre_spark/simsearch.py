@@ -629,6 +629,7 @@ def ivf_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    arrow: bool = True,
 ) -> DataFrame:
     """Bulk ANN (r3 verdict task 3): kNN for EVERY row of a query table —
     the cross-corpus retrieval shape a training-data pipeline actually
@@ -653,17 +654,142 @@ def ivf_topk_batch(
 
     Returns (query_id, id, cosine, rank), rank 1..k. Query rows with a
     null or wrong-dimension vector are dropped (same hygiene as
-    refine_centroids)."""
+    refine_centroids).
+
+    r8 (guide §4.2/§8): with a double-element index the probe+score side
+    runs as a numpy mapInPandas kernel over the index — queries are
+    collected driver-side (they are the bounded side by design, the same
+    assumption the join's broadcast made), probe cells are computed in
+    python with the exact fold/sort the JVM expression used, per-cell
+    blocks are scored in the exact fold order, and each batch ships back
+    only a margin superset of the rounded top-k per query
+    (cosine_scores_pruned reasoning). F.round + the ranking window stay
+    in the JVM, so values, tie-breaks and the WindowGroupLimit plan
+    shape are unchanged. This removes the 1.3M-pair joined-row
+    materialization measured at sf1.0. Other vector types keep the
+    legacy equi-join path (``arrow=False`` forces it)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     dim = len(centroids[0])
     qv = F.col(vec_col)
-    q = (
-        queries.filter(qv.isNotNull() & (F.size(qv) == dim))
-        .select(
-            F.col(query_id_col),
-            qv.alias("_qv"),
-            _query_norm(qv, dim).alias("_qn"),
-            F.explode(ivf_probe_cells(qv, centroids, nprobe)).alias("cell"),
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    qfilt = queries.filter(qv.isNotNull() & (F.size(qv) == dim))
+    elem_t = None
+    try:
+        elem_t = index.schema[vec_col].dataType.elementType
+    except Exception:
+        pass
+    if arrow and isinstance(elem_t, DoubleType):
+        qrows = qfilt.select(query_id_col, vec_col).collect()
+        C = [[float(x) for x in c] for c in centroids]
+        cc = [sum(x * x for x in c) for c in C]
+        qids = [r[query_id_col] for r in qrows]
+        Q = np.array(
+            [[float(x) for x in r[vec_col]] for r in qrows], dtype=np.float64
+        ).reshape(len(qrows), dim)
+        qn = np.empty(len(qrows), dtype=np.float64)
+        # per-query probe cells + guarded norm, exact python twins of
+        # ivf_probe_cells / _query_norm (left folds, (d, cell) sort)
+        by_cell: dict[int, list[int]] = {}
+        for j, r in enumerate(qrows):
+            q = [float(x) for x in r[vec_col]]
+            vv = sum(x * x for x in q)
+            n = math.sqrt(vv)
+            qn[j] = n if n != 0.0 else 1.0
+            dists = []
+            for ci, c in enumerate(C):
+                dot = sum(x * w_ for x, w_ in zip(q, c))
+                dists.append((vv - 2 * dot + cc[ci], ci + 1))
+            for _d, cell in sorted(dists)[:nprobe]:
+                by_cell.setdefault(cell, []).append(j)
+
+        src = index.select("cell", id_col, vec_col, "norm")
+        out_schema = StructType(
+            [
+                qfilt.schema[query_id_col],
+                src.schema[id_col],
+                StructField("cosine", DoubleType(), True),
+            ]
         )
+        margin = 1.1e-6
+
+        def score(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty or not qids:
+                    continue
+                vecs = pdf[vec_col]
+                n = len(vecs)
+                lens = np.fromiter(
+                    (len(x) for x in vecs), dtype=np.int64, count=n
+                )
+                ok = lens == dim
+                cells = pdf["cell"].values
+                ids = pdf[id_col].values
+                norms = pdf["norm"].values
+                # per-query scores across this batch's probed-cell rows
+                parts: dict[int, list] = {}
+                for cell, qjs in by_cell.items():
+                    rows = np.flatnonzero(ok & (cells == cell))
+                    if not len(rows):
+                        continue
+                    X = np.stack(
+                        [np.asarray(vecs.iloc[r], dtype=np.float64) for r in rows]
+                    )
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        block = _fold_dots(X, Q[qjs]) / (
+                            norms[rows][:, None] * qn[qjs][None, :]
+                        )
+                    for col, j in enumerate(qjs):
+                        parts.setdefault(j, []).append((rows, block[:, col]))
+                out_q, out_i, out_c = [], [], []
+                for j, chunks in parts.items():
+                    rows = np.concatenate([r for r, _c in chunks])
+                    cos = np.concatenate([c for _r, c in chunks])
+                    nk = len(cos) - k
+                    if nk > 0:
+                        thr = np.partition(cos, nk)[nk]
+                        with np.errstate(invalid="ignore"):
+                            keep = cos >= (thr - margin)
+                    else:
+                        keep = np.ones(len(cos), dtype=bool)
+                    keep |= ~np.isfinite(cos)
+                    out_q.extend([qids[j]] * int(keep.sum()))
+                    out_i.append(ids[rows[keep]])
+                    out_c.append(cos[keep])
+                if not out_q:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        query_id_col: out_q,
+                        id_col: np.concatenate(out_i),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+        scored = src.mapInPandas(score, out_schema)
+        return (
+            scored.select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.round(F.col("cosine"), 6).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    q = qfilt.select(
+        F.col(query_id_col),
+        qv.alias("_qv"),
+        _query_norm(qv, dim).alias("_qn"),
+        F.explode(ivf_probe_cells(qv, centroids, nprobe)).alias("cell"),
     )
     joined = q.join(index, "cell")
     # unrolled codegen dot (r8): _qv is size-filtered above, so only the
@@ -675,11 +801,6 @@ def ivf_topk_batch(
         _chain_sum(v[i] * F.col("_qv")[i] for i in range(dim)),
     ).otherwise(F.lit(None).cast("double"))
     cos = F.round(dot / (F.col("norm") * F.col("_qn")), 6)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
     return (
         joined.select(F.col(query_id_col), F.col(id_col), cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))

@@ -2023,7 +2023,7 @@ def q_dd_cosine_exact(spark, sf_dir):
         .filter(F.col("vec_id") < 150)
         .select(
             "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            F.col("embedding").cast("array<double>").alias("v"),
         )
     )
     nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
@@ -2104,7 +2104,7 @@ def q_dd_cosine_lsh_banded(spark, sf_dir):
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
     )
     dim = len(_query_vec(sf_dir))
     # n_planes sized for the SF corpus (500-5000 vectors -> 8 planes
@@ -2234,10 +2234,16 @@ def q_ss_topk_cosine(spark, sf_dir):
     import sys
 
     sys.path.insert(0, REPO)
+    from antnre_spark.dedup import _ensure_parallelism
     from antnre_spark.simsearch import cosine_topk
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    # r8: array cast instead of a per-element transform HOF, and fan the
+    # single-file scan out (guide §2.6) — the brute-force scan ran on 1-2
+    # cores; TakeOrdered merges the per-partition heaps identically
+    e = _ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
     return cosine_topk(e, _query_vec(sf_dir), k=10)
 
@@ -2259,7 +2265,7 @@ def q_ss_bucketed_topk(spark, sf_dir):
     from antnre_spark.simsearch import bucketed_index, bucketed_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     idx = bucketed_index(e, dim=len(_query_vec(sf_dir)))
     return bucketed_topk(idx, _query_vec(sf_dir), k=10)

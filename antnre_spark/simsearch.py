@@ -18,34 +18,12 @@ from pyspark.sql import functions as F
 from antnre_spark.hashing import plane_weights
 
 
-def _chain_sum(terms) -> Column:
-    """Left-assoc sum starting from literal 0.0 — the EXACT float fold
-    F.aggregate(..., F.lit(0.0), lambda acc, x: acc + x) performs
-    (((0.0 + t0) + t1) + ...), but as a flat codegen-compilable
-    expression chain instead of an interpreted higher-order function.
-    Bit-identical results (same IEEE ops in the same order, including
-    the leading 0.0 + t0 which normalizes -0.0 the same way)."""
-    acc: Column = F.lit(0.0)
-    for t in terms:
-        acc = acc + t
-    return acc
-
-
 def _dot_with_lit(vec: Column, query: list[float]) -> Column:
-    """Dot product against a literal vector.
-
-    r8 (guide §4.1/§2): the original
-    ``F.aggregate(F.zip_with(...))`` runs as an INTERPRETED lambda per
-    element (higher-order functions are CodegenFallback) — ~50-100x the
-    cost of the same arithmetic compiled. The unrolled chain below is
-    bit-identical (see _chain_sum) and is guarded by size(vec) ==
-    len(query): the fold returned NULL on any length mismatch (zip_with
-    null-pads, null poisons the sum), so the otherwise-branch
-    reproduces that, and the guard also keeps ANSI-mode getItem from
-    throwing on a short array (the branch is evaluated lazily)."""
-    chain = _chain_sum(vec[i] * F.lit(float(x)) for i, x in enumerate(query))
-    return F.when(F.size(vec) == len(query), chain).otherwise(
-        F.lit(None).cast("double")
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec, qlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -53,23 +31,12 @@ def _norm(vec: Column) -> Column:
     return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
 
 
-def _norm_d(vec: Column, dim: int) -> Column:
-    """L2 norm, codegen-unrolled for the common known-``dim`` case.
-    Bit-identical to _norm: same fold order (_chain_sum), and rows whose
-    array length differs from ``dim`` fall back to the legacy fold
-    (which sums over the row's OWN length — not a null, so a null
-    sentinel would be wrong here)."""
-    chain = F.sqrt(_chain_sum(vec[i] * vec[i] for i in range(dim)))
-    return F.when(F.size(vec) == dim, chain).otherwise(_norm(vec))
-
-
-def _query_norm(vec: Column, dim: int | None = None) -> Column:
+def _query_norm(vec: Column) -> Column:
     """Query-side norm with the zero guard the single-query paths apply
     driver-side (``math.sqrt(...) or 1.0``): an all-zero query vector
     yields cosine 0.0 rows, not NaNs that Spark sorts above every real
-    neighbor (r4 self-review). ``dim`` switches to the codegen-unrolled
-    norm (bit-identical — see _norm_d)."""
-    n = _norm_d(vec, dim) if dim else _norm(vec)
+    neighbor (r4 self-review)."""
+    n = _norm(vec)
     return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
 
@@ -85,7 +52,7 @@ def cosine_topk(
 
     qn = math.sqrt(sum(x * x for x in query)) or 1.0
     v = F.col(vec_col)
-    cos = _dot_with_lit(v, query) / (_norm_d(v, len(query)) * F.lit(qn))
+    cos = _dot_with_lit(v, query) / (_norm(v) * F.lit(qn))
     return (
         df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -208,10 +175,12 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     repr() literals). vec length must equal the plane dimension."""
 
     def plane_dot(w: list[float]) -> Column:
-        # unrolled codegen dot (r8) — bit-identical to the zip_with fold,
-        # incl. NULL on length mismatch (-> the when() falls to "0",
-        # exactly as the fold's NULL >= 0 did); see _dot_with_lit
-        return _dot_with_lit(vec, w)
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        return F.aggregate(
+            F.zip_with(vec, wlit, lambda x, wv: x * wv),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
 
     return F.concat_ws(
         "",
@@ -249,8 +218,7 @@ def bucketed_index(
     direction, so no cosine neighbor rank — and under ANSI mode (Spark 4
     default) its norm-0 row would turn every query that probes its
     bucket into a divide-by-zero job failure (r4 self-review)."""
-    d = dim or _infer_dim(df, vec_col)
-    planes = plane_weights(d, n_planes)
+    planes = plane_weights(dim or _infer_dim(df, vec_col), n_planes)
     v = F.col(vec_col)
     return (
         df.filter(v.isNotNull())
@@ -258,7 +226,7 @@ def bucketed_index(
             hyperplane_bucket(v, planes).alias("bucket"),
             F.col(id_col),
             v.alias(vec_col),
-            _norm_d(v, d).alias("norm"),
+            _norm(v).alias("norm"),
         )
         .filter(F.col("norm") > 0.0)
     )
@@ -560,7 +528,7 @@ def ivf_index(
             ivf_cell(v, centroids).alias("cell"),
             F.col(id_col),
             v.alias(vec_col),
-            _norm_d(v, dim).alias("norm"),
+            _norm(v).alias("norm"),
         )
         .filter(F.col("norm") > 0.0)
     )
@@ -788,18 +756,15 @@ def ivf_topk_batch(
     q = qfilt.select(
         F.col(query_id_col),
         qv.alias("_qv"),
-        _query_norm(qv, dim).alias("_qn"),
+        _query_norm(qv).alias("_qn"),
         F.explode(ivf_probe_cells(qv, centroids, nprobe)).alias("cell"),
     )
     joined = q.join(index, "cell")
-    # unrolled codegen dot (r8): _qv is size-filtered above, so only the
-    # index side needs the length guard; mismatch -> NULL, exactly as the
-    # legacy zip_with fold null-padded (see _dot_with_lit)
-    v = F.col(vec_col)
-    dot = F.when(
-        F.size(v) == dim,
-        _chain_sum(v[i] * F.col("_qv")[i] for i in range(dim)),
-    ).otherwise(F.lit(None).cast("double"))
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     cos = F.round(dot / (F.col("norm") * F.col("_qn")), 6)
     return (
         joined.select(F.col(query_id_col), F.col(id_col), cos.alias("cosine"))
@@ -847,16 +812,15 @@ def bucketed_topk_batch(
     q = queries.filter(qv.isNotNull() & (F.size(qv) == dim)).select(
         F.col(query_id_col),
         qv.alias("_qv"),
-        _query_norm(qv, dim).alias("_qn"),
+        _query_norm(qv).alias("_qn"),
         F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
     )
     joined = q.join(index, "bucket")
-    # unrolled codegen dot (r8) — same guard reasoning as ivf_topk_batch
-    v = F.col(vec_col)
-    dot = F.when(
-        F.size(v) == dim,
-        _chain_sum(v[i] * F.col("_qv")[i] for i in range(dim)),
-    ).otherwise(F.lit(None).cast("double"))
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     cos = F.round(dot / (F.col("norm") * F.col("_qn")), 6)
     from pyspark.sql import Window
 

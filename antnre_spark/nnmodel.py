@@ -84,6 +84,17 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def _mean0(seg: np.ndarray) -> np.ndarray:
+    """Bit-exact ``seg.mean(axis=0)`` for 2-D float segments without the
+    per-call dispatch overhead (r8): numpy's _mean is exactly
+    ``umr_sum(arr, axis)`` followed by ``true_divide(ret, count,
+    out=ret, casting='unsafe')`` — reproduced verbatim, so values are
+    identical to the last bit (same pairwise reduction, same in-place
+    divide that keeps float32 float32)."""
+    s = np.add.reduce(seg, axis=0)
+    return np.true_divide(s, seg.shape[0], out=s, casting="unsafe")
+
+
 def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     m = x - x.max(axis=axis, keepdims=True)
     e = np.exp(m)
@@ -405,14 +416,14 @@ class AntNREModel:
         pair_bias = self.w["rel_pair_bias"]  # [4, 4, n_rels]
         trig = self.w["rel_trig"]  # [V, n_rels]
         span_vecs = {
-            i: hidden[m.begin : m.end].mean(axis=0) for i, m in enumerate(mentions)
+            i: _mean0(hidden[m.begin : m.end]) for i, m in enumerate(mentions)
         }
         zeros = np.zeros(hidden.shape[1], dtype=np.float32)
         # gather admissible ordered pairs, then ONE batched MLP matmul —
         # per-pair matvecs were the hottest python loop in the whole model.
         # between_vec is memoized by (lo, hi): the (i,j)/(j,i) orderings
         # share the identical segment, so this halves the mean reductions
-        # (the profile's hottest remaining cost) with bit-identical output
+        # with bit-identical output
         pairs: list[tuple[int, int, int, int]] = []
         feats: list[np.ndarray] = []
         between_cache: dict[tuple[int, int], np.ndarray] = {}
@@ -424,7 +435,7 @@ class AntNREModel:
                 between_vec = between_cache.get((lo, hi))
                 if between_vec is None:
                     between_vec = (
-                        hidden[lo:hi].mean(axis=0) if hi > lo else zeros
+                        _mean0(hidden[lo:hi]) if hi > lo else zeros
                     )
                     between_cache[(lo, hi)] = between_vec
                 pairs.append((i, j, lo, hi))
@@ -435,6 +446,10 @@ class AntNREModel:
             return []
         X = np.stack(feats)  # [P, 6h]
         logits_all = np.maximum(X @ W1 + b1, 0.0) @ W2 + b2  # [P, n_rels]
+        # (r8 probe, rejected: vectorizing this post-logits loop across
+        # pairs measured as a wash — bench sentences carry only a few
+        # admissible pairs each, so the numpy setup cost equals the loop
+        # it replaced. Kept the simpler per-row form.)
         out: list[Relation] = []
         trig_cache: dict[tuple[int, int], np.ndarray] = {}
         for (i, j, lo, hi), logits in zip(pairs, logits_all):

@@ -18,17 +18,17 @@ import os
 
 from pyspark.sql import SparkSession
 
-# r8: 2048 (was 512). The 512 row cap was sized for the WORST row shape
-# (multimodal binary payloads), but Spark 4's
-# spark.sql.execution.arrow.maxBytesPerBatch (64 MB default, left at its
-# default here) bounds the JVM->Python transfer by BYTES regardless of
-# the row cap, so blob batches stay 64 MB-bounded while narrow text rows
-# get 4x larger batches — measured ~10-15% on the extraction model call
-# (better char-dedup and fewer per-batch fixed costs; in-UDF re-chunkers
-# — extraction's token budget, multimodal's MAX_BATCH_BYTES — still
-# bound compute-side memory). Override per run with
-# $SPARK_GRAFT_ARROW_BATCH.
-ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
+# 512 is sized for the WORST row shape (multimodal binary payloads); the
+# sentence-shaped extraction stage tolerates much larger batches — override
+# per run with $SPARK_GRAFT_ARROW_BATCH when the job has no blob columns.
+# (r8 probe, REVERTED: a 2048 default won ~9% on the extraction rows —
+# Spark 4's arrow.maxBytesPerBatch keeps blob transfers byte-bounded
+# regardless — but consistently LOST 15-40% on the MinHash rows, whose
+# signature UDF builds [K, total_grams] int64 temporaries per batch:
+# 4x the docs per batch pushes those past the allocator-friendly range
+# across 32 concurrent workers. Net negative; per-job overrides remain
+# the right tool.)
+ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"))
 
 
 def get_spark(
